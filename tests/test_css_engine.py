@@ -1,0 +1,162 @@
+"""End-to-end CSS engine parity test.
+
+The engine (one fused on-device program) is checked against a slow host-side
+oracle that follows the reference algorithm step by step
+(css/css.py:110-338): python loop over segments, per-segment masks from the
+same model, float64 numpy MVDR, scipy Hungarian PIT stitch, numpy weighted
+OLA, numpy morphology gating, then iSTFT.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from notsofar_tpu.css.engine import CssCfg, CssEngine, calc_segment_weight
+from notsofar_tpu.models.conformer import ConformerConfig
+from notsofar_tpu.models.css_wrapper import (ConformerCssConfig, CssModel,
+                                             NnetConfig, sc_css_config)
+from notsofar_tpu.utils.morphology import dilate_np, erode_np
+from tests.test_mvdr import np_mvdr_oracle
+
+TINY = ConformerConfig(attention_dim=32, attention_heads=4, linear_units=64,
+                       num_blocks=2, kernel_size=5, dropout_rate=0.0)
+FS = 16000
+
+
+def _models():
+    mc_cfg = ConformerCssConfig(nnet_conf=NnetConfig(conformer_conf=TINY))
+    mc = CssModel(mc_cfg)
+    mc_vars = mc.init(jax.random.PRNGKey(0))
+    sc = CssModel(sc_css_config(TINY))
+    sc_vars = sc.init(jax.random.PRNGKey(1))
+    return (mc, mc_vars), (sc, sc_vars)
+
+
+MC, SC = _models()
+
+
+def reference_oracle(mix, model, variables, cfg: CssCfg, fs=FS):
+    """Direct reimplementation of the documented reference algorithm."""
+    x = jnp.asarray(mix[0].T)
+    stft_mix = np.asarray(model.extractor.stft.forward(x))  # [C,F,Tl]
+    stft_mix = np.moveaxis(stft_mix, 0, 2)  # [F, Tl, C]
+    F_, mix_frames, C = stft_mix.shape
+
+    seg_samples = int(cfg.segment_size_sec * fs)
+    from notsofar_tpu.ops.stft import num_frames
+    T = num_frames(seg_samples)
+    hop = int(T * cfg.hop_size_sec / cfg.segment_size_sec)
+    m0 = int(T * cfg.seg_weight_m0_sec / cfg.segment_size_sec)
+    m1 = int(T * cfg.seg_weight_m1_sec / cfg.segment_size_sec)
+    dil = int(T * cfg.activity_dilation_sec / cfg.segment_size_sec)
+    ero = int(T * cfg.activity_erosion_sec / cfg.segment_size_sec)
+    if mix_frames < T:
+        stft_mix = np.pad(stft_mix, ((0, 0), (0, T - mix_frames), (0, 0)))
+        mix_frames = T
+    overlap = T - hop
+    num_seg = int(np.ceil((mix_frames - overlap) / hop))
+
+    sep_list, mask_list = [], []
+    for i in range(num_seg):
+        st = i * hop
+        en = st + T
+        seg = np.zeros((F_, T, C), np.complex64)
+        en_c = min(en, mix_frames)
+        seg[:, :en_c - st] = stft_mix[:, st:en_c]
+        model_in = jnp.asarray(seg[None]) if C > 1 else jnp.asarray(seg[None, ..., 0])
+        masks = model.separate(variables, model_in)
+        spk = np.asarray(masks["spk_masks"])[0]
+        noi = np.asarray(masks["noise_masks"])[0]
+        if C > 1 and cfg.mc_mvdr:
+            sfm = np_mvdr_oracle(spk.astype(np.float64), noi.astype(np.float64),
+                                 seg.astype(np.complex128))
+        else:
+            sfm = seg[..., 0:1]
+        floor_db = cfg.mc_mask_floor_db if C > 1 else cfg.sc_mask_floor_db
+        floor = 10.0 ** (floor_db / 20.0) if np.isfinite(floor_db) else 0.0
+        sep = sfm * np.clip(spk, floor, None)
+        sep_list.append(sep)
+        mask_list.append(spk)
+
+    # stitch
+    stft_st = np.zeros((F_, mix_frames, 3), np.complex128)
+    mask_st = np.zeros((F_, mix_frames, 3), np.float64)
+    wsum = np.zeros(mix_frames, np.float64)
+    wg = calc_segment_weight(T, m0, m1, is_first=True,
+                             is_last=(num_seg == 1))
+    stft_st[:, :T] += wg[None, :, None] * sep_list[0]
+    mask_st[:, :T] += wg[None, :, None] * mask_list[0]
+    wsum[:T] += wg
+    for i in range(1, num_seg):
+        left, right = mask_list[i - 1], mask_list[i]
+        lm = np.zeros((3, 3))
+        for a in range(3):
+            for b in range(3):
+                lm[a, b] = np.abs(left[:, -overlap:, a] - right[:, :overlap, b]).mean()
+        _, perm = linear_sum_assignment(lm)
+        mask_list[i] = mask_list[i][..., perm]
+        sep_list[i] = sep_list[i][..., perm]
+        st = i * hop
+        en = min(st + T, mix_frames)
+        wg = calc_segment_weight(T, m0, m1, is_last=(i == num_seg - 1))[:en - st]
+        stft_st[:, st:en] += wg[None, :, None] * sep_list[i][:, :en - st]
+        mask_st[:, st:en] += wg[None, :, None] * mask_list[i][:, :en - st]
+        wsum[st:en] += wg
+    assert (wsum > 1e-5).all()
+    stft_st /= wsum[None, :, None]
+    mask_st /= wsum[None, :, None]
+
+    activity = mask_st.mean(axis=0)  # [T, 3]
+    act_b = activity >= cfg.activity_th
+    act = np.stack([erode_np(dilate_np(act_b[:, s], dil), ero)
+                    for s in range(3)], axis=1)
+    gated = stft_st * act[None]
+    wavs = np.asarray(model.extractor.stft.inverse(
+        jnp.asarray(np.moveaxis(gated, 2, 0).astype(np.complex64))))
+    return wavs, mask_st, act
+
+
+@pytest.mark.parametrize("mode", ["sc", "mc_nomvdr", "mc_mvdr"])
+def test_engine_matches_reference_oracle(mode):
+    rng = np.random.RandomState(5)
+    n_samples = int(7.3 * FS)  # ~4 segments + ragged tail
+    if mode == "sc":
+        model, variables = SC
+        mix = (rng.randn(1, n_samples, 1) * 0.1).astype(np.float32)
+        cfg = CssCfg(seg_bucket_multiple=4, seg_chunk=2)
+    else:
+        model, variables = MC
+        mix = (rng.randn(1, n_samples, 7) * 0.1).astype(np.float32)
+        cfg = CssCfg(seg_bucket_multiple=4, seg_chunk=2,
+                     mc_mvdr=(mode == "mc_mvdr"))
+        if mode == "mc_nomvdr":
+            cfg.mc_mvdr = False
+            cfg.mc_mask_floor_db = -np.inf  # plain masking path
+    engine = CssEngine(model, variables, cfg)
+    wavs, side = engine.separate_and_stitch(mix, FS)
+
+    owavs, omask, oact = reference_oracle(mix, model, variables, cfg)
+    assert len(wavs) == 3
+    # activity gating must agree exactly
+    np.testing.assert_array_equal(side["activity_final"], oact)
+    np.testing.assert_allclose(side["mask_stitched"], omask, rtol=5e-3, atol=5e-4)
+    # mc_mvdr: float32 engine vs float64 MVDR oracle leaves ~2.5e-2 noise on
+    # <0.1% of samples (the reference's own complex64 solve is noisier).
+    atol = 5e-2 if mode == "mc_mvdr" else 2e-2
+    for s in range(3):
+        n = min(len(wavs[s]), owavs.shape[1])
+        scale = max(np.abs(owavs[s, :n]).max(), 1e-6)
+        np.testing.assert_allclose(wavs[s][:n] / scale, owavs[s, :n] / scale,
+                                   atol=atol)
+
+
+def test_short_session_single_segment():
+    model, variables = SC
+    rng = np.random.RandomState(6)
+    mix = (rng.randn(1, FS, 1) * 0.1).astype(np.float32)  # 1s < one segment
+    engine = CssEngine(model, variables, CssCfg(seg_bucket_multiple=1))
+    wavs, side = engine.separate_and_stitch(mix, FS)
+    assert len(wavs) == 3
+    assert side["num_segments"] == 1
+    assert all(np.isfinite(w).all() for w in wavs)
