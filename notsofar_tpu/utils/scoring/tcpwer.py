@@ -1,0 +1,267 @@
+"""tcpWER and tcORC-WER session metrics.
+
+Native rebuild of the meeteval metrics the reference delegates to
+(utils/scoring.py:108-125; meeteval is not available in this environment):
+
+* tcpWER — time-constrained minimum-permutation WER: per (ref speaker, hyp
+  speaker) pair a time-constrained Levenshtein distance (collar-extended
+  reference word intervals, character-based pseudo word timings), optimal
+  bijective speaker assignment via the Hungarian method with unmatched
+  speakers scored as pure deletions/insertions.
+* tcORC-WER — time-constrained ORC WER: reference utterances are assigned
+  to hypothesis streams; each stream is scored against the time-ordered
+  concatenation of its assigned utterances. The assignment is found by a
+  windowed greedy initialization followed by exact-rescoring coordinate
+  descent (an upper bound of the exact ORC optimum; exact for the common
+  non-degenerate cases).
+
+Both metrics share the native time-constrained Levenshtein kernel
+(levenshtein.py / native/tclev.cpp).
+"""
+import bisect
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from scipy.optimize import linear_sum_assignment
+
+from notsofar_tpu.utils.scoring.levenshtein import EditCounts, tc_levenshtein
+from notsofar_tpu.utils.scoring.seglst import SegLst, words_with_pseudo_times
+
+
+@dataclass
+class WordSeq:
+    ids: np.ndarray      # int32 vocab ids
+    beg: np.ndarray      # float64 begin times
+    end: np.ndarray      # float64 end times
+
+    def __len__(self):
+        return len(self.ids)
+
+    @staticmethod
+    def empty() -> "WordSeq":
+        return WordSeq(np.zeros(0, np.int32), np.zeros(0), np.zeros(0))
+
+
+class Vocab:
+    def __init__(self):
+        self._ids: Dict[str, int] = {}
+
+    def __getitem__(self, w: str) -> int:
+        if w not in self._ids:
+            self._ids[w] = len(self._ids)
+        return self._ids[w]
+
+
+def _speaker_word_seqs(seglst: SegLst, vocab: Vocab) -> Dict[str, WordSeq]:
+    """Group by speaker; segments sorted by start time ('segment' sort),
+    words get character-based pseudo timings."""
+    out: Dict[str, WordSeq] = {}
+    for spk, segs in seglst.groupby("speaker").items():
+        ordered = sorted(segs.segments, key=lambda s: float(s["start_time"]))
+        ids, beg, end = [], [], []
+        for seg in ordered:
+            for w in words_with_pseudo_times(seg):
+                ids.append(vocab[w["word"]])
+                beg.append(w["begin"])
+                end.append(w["end"])
+        if ids:
+            out[spk] = WordSeq(np.asarray(ids, np.int32),
+                               np.asarray(beg), np.asarray(end))
+    return out
+
+
+def _concat_seqs(seqs: List[WordSeq]) -> WordSeq:
+    if not seqs:
+        return WordSeq.empty()
+    return WordSeq(np.concatenate([s.ids for s in seqs]),
+                   np.concatenate([s.beg for s in seqs]),
+                   np.concatenate([s.end for s in seqs]))
+
+
+def _tclev(ref: WordSeq, hyp: WordSeq, collar: float) -> EditCounts:
+    return tc_levenshtein(ref.ids, ref.beg - collar, ref.end + collar,
+                          hyp.ids, hyp.beg, hyp.end)
+
+
+# --------------------------------------------------------------------------
+# tcpWER
+# --------------------------------------------------------------------------
+
+def tcp_wer(ref: SegLst, hyp: SegLst, collar: float = 5.0) -> Dict:
+    """Time-constrained minimum-permutation WER for one session.
+
+    Returns a dict with meeteval-compatible keys: error_rate, errors,
+    length, insertions, deletions, substitutions, missed_speaker,
+    falarm_speaker, scored_speaker, assignment.
+    """
+    vocab = Vocab()
+    ref_seqs = _speaker_word_seqs(ref, vocab)
+    hyp_seqs = _speaker_word_seqs(hyp, vocab)
+    ref_spks = sorted(ref_seqs)
+    hyp_spks = sorted(hyp_seqs)
+    R, H = len(ref_spks), len(hyp_spks)
+
+    pair = np.zeros((R, H), np.int64)
+    pair_counts: Dict[Tuple[int, int], EditCounts] = {}
+    for i, r in enumerate(ref_spks):
+        for j, h in enumerate(hyp_spks):
+            c = _tclev(ref_seqs[r], hyp_seqs[h], collar)
+            pair[i, j] = c.errors
+            pair_counts[(i, j)] = c
+
+    INF = 10 ** 12
+    n = R + H
+    cost = np.full((n, n), INF, np.int64)
+    cost[:R, :H] = pair
+    for i in range(R):   # ref speaker left unmatched -> all deletions
+        cost[i, H + i] = len(ref_seqs[ref_spks[i]])
+    for j in range(H):   # hyp speaker left unmatched -> all insertions
+        cost[R + j, j] = len(hyp_seqs[hyp_spks[j]])
+    cost[R:, H:] = 0
+    rows, cols = linear_sum_assignment(cost)
+
+    errors = subs = ins = dels = 0
+    assignment: List[Tuple[Optional[str], Optional[str]]] = []
+    missed = falarm = 0
+    for i, j in zip(rows, cols):
+        if i < R and j < H:
+            c = pair_counts[(i, j)]
+            errors += c.errors
+            subs += c.substitutions
+            ins += c.insertions
+            dels += c.deletions
+            assignment.append((ref_spks[i], hyp_spks[j]))
+        elif i < R:
+            dels += len(ref_seqs[ref_spks[i]])
+            errors += len(ref_seqs[ref_spks[i]])
+            missed += 1
+            assignment.append((ref_spks[i], None))
+        elif j < H:
+            ins += len(hyp_seqs[hyp_spks[j]])
+            errors += len(hyp_seqs[hyp_spks[j]])
+            falarm += 1
+            assignment.append((None, hyp_spks[j]))
+
+    length = sum(len(s) for s in ref_seqs.values())
+    return dict(
+        error_rate=errors / length if length else float(errors > 0),
+        errors=errors, length=length,
+        insertions=ins, deletions=dels, substitutions=subs,
+        missed_speaker=missed, falarm_speaker=falarm, scored_speaker=R,
+        assignment=assignment,
+    )
+
+
+# --------------------------------------------------------------------------
+# tcORC-WER
+# --------------------------------------------------------------------------
+
+@dataclass
+class _Utt:
+    seq: WordSeq
+    start: float
+    end: float
+
+
+def _utterances(ref: SegLst, vocab: Vocab) -> List[_Utt]:
+    utts = []
+    for seg in sorted(ref.segments, key=lambda s: float(s["start_time"])):
+        ws = words_with_pseudo_times(seg)
+        if not ws:
+            continue
+        utts.append(_Utt(
+            WordSeq(np.asarray([vocab[w["word"]] for w in ws], np.int32),
+                    np.asarray([w["begin"] for w in ws]),
+                    np.asarray([w["end"] for w in ws])),
+            float(seg["start_time"]), float(seg["end_time"])))
+    return utts
+
+
+def _stream_window(stream: WordSeq, t0: float, t1: float) -> WordSeq:
+    lo = bisect.bisect_left(stream.beg.tolist(), t0)
+    hi = bisect.bisect_right(stream.beg.tolist(), t1)
+    return WordSeq(stream.ids[lo:hi], stream.beg[lo:hi], stream.end[lo:hi])
+
+
+def tcorc_wer(ref: SegLst, hyp: SegLst, collar: float = 5.0,
+              refine_passes: int = 2) -> Dict:
+    """Time-constrained ORC WER for one session.
+
+    Hypothesis 'speaker' field is the stream id (the reference factorizes
+    the CSS wav file name into it, inference_pipeline/inference.py:146).
+    """
+    vocab = Vocab()
+    streams = _speaker_word_seqs(hyp, vocab)
+    stream_ids = sorted(streams)
+    utts = _utterances(ref, vocab)
+    S = len(stream_ids)
+    length = sum(len(u.seq) for u in utts)
+
+    if S == 0 or length == 0:
+        ins = sum(len(s) for s in streams.values())
+        errors = length + ins
+        return dict(error_rate=errors / length if length else float(errors > 0),
+                    errors=errors, length=length, insertions=ins,
+                    deletions=length, substitutions=0, assignment=[])
+
+    # 1. windowed greedy init: local alignment cost of each utterance
+    # against each stream's temporal neighborhood.
+    assign = []
+    for u in utts:
+        best, best_s = None, 0
+        for si, sid in enumerate(stream_ids):
+            win = _stream_window(streams[sid], u.start - collar, u.end + collar)
+            c = _tclev(u.seq, win, collar)
+            # insertions inside the window are not really errors (other
+            # utterances may claim them) — score matching quality only.
+            local = c.errors - c.insertions
+            if best is None or local < best:
+                best, best_s = local, si
+        assign.append(best_s)
+
+    def stream_counts(a: List[int]) -> List[EditCounts]:
+        out = []
+        for si, sid in enumerate(stream_ids):
+            refcat = _concat_seqs([u.seq for u, s in zip(utts, a) if s == si])
+            out.append(_tclev(refcat, streams[sid], collar))
+        return out
+
+    counts = stream_counts(assign)
+    total = sum(c.errors for c in counts)
+
+    # 2. exact-rescoring coordinate descent
+    for _ in range(refine_passes):
+        improved = False
+        for ui in range(len(utts)):
+            cur = assign[ui]
+            for si in range(S):
+                if si == cur:
+                    continue
+                trial = list(assign)
+                trial[ui] = si
+                # only the two affected streams change
+                delta_streams = {cur, si}
+                trial_counts = list(counts)
+                for ds in delta_streams:
+                    refcat = _concat_seqs(
+                        [u.seq for u, s in zip(utts, trial) if s == ds])
+                    trial_counts[ds] = _tclev(refcat, streams[stream_ids[ds]],
+                                              collar)
+                trial_total = sum(c.errors for c in trial_counts)
+                if trial_total < total:
+                    assign, counts, total = trial, trial_counts, trial_total
+                    improved = True
+                    break
+        if not improved:
+            break
+
+    errors = sum(c.errors for c in counts)
+    return dict(
+        error_rate=errors / length if length else float(errors > 0),
+        errors=errors, length=length,
+        insertions=sum(c.insertions for c in counts),
+        deletions=sum(c.deletions for c in counts),
+        substitutions=sum(c.substitutions for c in counts),
+        assignment=[stream_ids[s] for s in assign],
+    )

@@ -1,0 +1,169 @@
+"""Scorer tests: time-constrained Levenshtein kernel, tcpWER speaker
+assignment, tcORC-WER stream assignment, and the calc_wer dataframe
+contract."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from notsofar_tpu.utils.scoring import calc_wer
+from notsofar_tpu.utils.scoring.levenshtein import levenshtein, tc_levenshtein
+from notsofar_tpu.utils.scoring.seglst import SegLst, words_with_pseudo_times
+from notsofar_tpu.utils.scoring.tcpwer import tcorc_wer, tcp_wer
+
+
+def ids(*ws):
+    vocab = {}
+    return np.asarray([vocab.setdefault(w, len(vocab)) for w in ws], np.int32)
+
+
+def test_plain_levenshtein():
+    a = ids("a", "b", "c")
+    b = np.asarray([0, 1, 1], np.int32)  # a b b
+    c = levenshtein(a, b)
+    assert c.errors == 1 and c.substitutions == 1
+
+
+def test_tclev_blocks_far_matches():
+    """Identical words that never overlap in time must cost ins+del."""
+    r_ids = np.asarray([0], np.int32)
+    h_ids = np.asarray([0], np.int32)
+    near = tc_levenshtein(r_ids, np.array([0.0]), np.array([1.0]),
+                          h_ids, np.array([0.5]), np.array([1.5]))
+    far = tc_levenshtein(r_ids, np.array([0.0]), np.array([1.0]),
+                         h_ids, np.array([100.0]), np.array([101.0]))
+    assert near.errors == 0
+    assert far.errors == 2 and far.insertions == 1 and far.deletions == 1
+
+
+def test_tclev_numpy_fallback_agrees():
+    from notsofar_tpu.utils.scoring.levenshtein import _tc_lev_numpy
+    rng = np.random.RandomState(0)
+    for _ in range(10):
+        n, m = rng.randint(1, 30), rng.randint(1, 30)
+        r_ids = rng.randint(0, 5, n).astype(np.int32)
+        h_ids = rng.randint(0, 5, m).astype(np.int32)
+        rb = np.sort(rng.rand(n) * 10)
+        hb = np.sort(rng.rand(m) * 10)
+        re_, he = rb + 1.0, hb + 1.0
+        a = tc_levenshtein(r_ids, rb, re_, h_ids, hb, he)
+        b = _tc_lev_numpy(r_ids, rb, re_, h_ids, hb, he)
+        assert a.errors == b.errors
+        assert (a.substitutions, a.insertions, a.deletions) == \
+               (b.substitutions, b.insertions, b.deletions)
+
+
+def _seg(sess, spk, t0, t1, words):
+    return dict(session_id=sess, speaker=spk, start_time=t0, end_time=t1,
+                words=words)
+
+
+def test_pseudo_word_times_character_based():
+    ws = words_with_pseudo_times(_seg("s", "a", 0.0, 10.0, "ab abc abcde"))
+    # char proportions 2:3:5 over 10s
+    assert ws[0]["begin"] == 0.0 and abs(ws[0]["end"] - 2.0) < 1e-9
+    assert abs(ws[1]["end"] - 5.0) < 1e-9
+    assert abs(ws[2]["end"] - 10.0) < 1e-9
+
+
+def test_tcpwer_perfect_match():
+    ref = SegLst([_seg("s", "A", 0, 2, "hello world"),
+                  _seg("s", "B", 3, 5, "good morning")])
+    hyp = SegLst([_seg("s", "spk0", 0.1, 2.1, "hello world"),
+                  _seg("s", "spk1", 3.1, 5.1, "good morning")])
+    res = tcp_wer(ref, hyp, collar=5)
+    assert res["errors"] == 0
+    assert res["error_rate"] == 0.0
+    assert res["scored_speaker"] == 2
+    assert res["missed_speaker"] == 0
+
+
+def test_tcpwer_speaker_permutation_found():
+    """Hyp speakers are swapped; assignment must recover zero errors."""
+    ref = SegLst([_seg("s", "A", 0, 2, "one two three"),
+                  _seg("s", "B", 3, 5, "four five six")])
+    hyp = SegLst([_seg("s", "x", 3, 5, "four five six"),
+                  _seg("s", "y", 0, 2, "one two three")])
+    res = tcp_wer(ref, hyp, collar=5)
+    assert res["errors"] == 0
+    assert ("A", "y") in res["assignment"] and ("B", "x") in res["assignment"]
+
+
+def test_tcpwer_missed_and_falarm():
+    ref = SegLst([_seg("s", "A", 0, 2, "a b"),
+                  _seg("s", "B", 3, 5, "c d e")])
+    hyp = SegLst([_seg("s", "h0", 0, 2, "a b")])
+    res = tcp_wer(ref, hyp, collar=5)
+    assert res["missed_speaker"] == 1
+    assert res["deletions"] == 3
+    assert res["errors"] == 3
+    assert res["length"] == 5
+
+    hyp2 = SegLst([_seg("s", "h0", 0, 2, "a b"),
+                   _seg("s", "h1", 3, 5, "c d e"),
+                   _seg("s", "h2", 6, 8, "x y")])
+    res2 = tcp_wer(ref, hyp2, collar=5)
+    assert res2["falarm_speaker"] == 1
+    assert res2["insertions"] == 2
+
+
+def test_tcpwer_collar_blocks_distant_match():
+    ref = SegLst([_seg("s", "A", 0, 1, "hello")])
+    hyp = SegLst([_seg("s", "h", 60, 61, "hello")])
+    res = tcp_wer(ref, hyp, collar=5)
+    assert res["errors"] == 2  # one deletion + one insertion
+    res_big = tcp_wer(ref, hyp, collar=120)
+    assert res_big["errors"] == 0
+
+
+def test_tcorc_streams():
+    """Two overlapping utterances must be creditable to separate streams."""
+    ref = SegLst([_seg("s", "A", 0, 2, "one two three"),
+                  _seg("s", "B", 0, 2, "alpha beta gamma")])
+    hyp = SegLst([_seg("s", "0", 0, 2, "one two three"),
+                  _seg("s", "1", 0, 2, "alpha beta gamma")])
+    res = tcorc_wer(ref, hyp, collar=5)
+    assert res["errors"] == 0
+    assert res["length"] == 6
+
+
+def test_tcorc_single_stream_sequential():
+    ref = SegLst([_seg("s", "A", 0, 2, "one two"),
+                  _seg("s", "B", 3, 5, "three four")])
+    hyp = SegLst([_seg("s", "0", 0, 5, "one two three four")])
+    res = tcorc_wer(ref, hyp, collar=5)
+    assert res["errors"] == 0
+
+
+def test_calc_wer_dataframe_contract(tmp_path):
+    gt = pd.DataFrame([
+        dict(meeting_id="MTG_0001", start_time=0.0, end_time=2.0,
+             text="hello world", speaker_id="A"),
+        dict(meeting_id="MTG_0001", start_time=3.0, end_time=5.0,
+             text="good morning", speaker_id="B"),
+    ])
+    hyp = [dict(session_id="multichannel/MTG_0001_dev1",
+                start_time=0.0, end_time=2.0, words="hello world",
+                speaker="spk0"),
+           dict(session_id="multichannel/MTG_0001_dev1",
+                start_time=3.0, end_time=5.0, words="good morning",
+                speaker="spk1")]
+    df = calc_wer(tmp_path, hyp, hyp, gt, tn="chime8", collar=5)
+    assert set(["session_id", "tcp_wer", "tcorc_wer", "tcp_errors",
+                "tcp_length", "tcp_insertions", "tcp_deletions",
+                "tcp_substitutions", "tcp_missed_speaker",
+                "tcp_falarm_speaker", "tcp_scored_speaker",
+                "tcp_assignment"]).issubset(df.columns)
+    assert df.tcp_wer.iloc[0] == 0.0
+    assert df.tcorc_wer.iloc[0] == 0.0
+    assert (tmp_path / "ref.json").exists()
+
+
+def test_calc_wer_normalization_applied(tmp_path):
+    gt = pd.DataFrame([
+        dict(meeting_id="MTG_0002", start_time=0.0, end_time=2.0,
+             text="it costs $20 okay", speaker_id="A")])
+    hyp = [dict(session_id="singlechannel/MTG_0002_dev2",
+                start_time=0.0, end_time=2.0,
+                words="It costs twenty dollars, OK!", speaker="spk0")]
+    df = calc_wer(tmp_path, hyp, hyp, gt, tn="chime8", collar=5)
+    assert df.tcp_wer.iloc[0] == 0.0
