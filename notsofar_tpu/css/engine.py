@@ -264,7 +264,7 @@ class CssEngine:
             geo["dilation"], geo["erosion"])
 
         # iSTFT on device, trim to the real session extent
-        wavs = self.model.extractor.stft.inverse(gated[:, :, :])  # [S, samples]
+        wavs = self.model.extractor.istft_op.inverse(gated[:, :, :])  # [S, samples]
         n_real = (mix_frames - 1) * self.frame_hop + self.frame_len
         wavs = np.asarray(wavs)[:, :n_real]
         side_info = {

@@ -80,7 +80,7 @@ class CssModel:
     def istft(self, stft_c: jnp.ndarray) -> jnp.ndarray:
         """stft_c: complex [B, F, T] -> [B, NSamples]."""
         assert stft_c.ndim == 3
-        return self.extractor.stft.inverse(stft_c)
+        return self.extractor.istft_op.inverse(stft_c)
 
     def masks_from_feature(self, variables: Dict, f: jnp.ndarray,
                            deterministic: bool = True,

@@ -109,6 +109,12 @@ class FeatureExtractor:
         self.cfg = cfg
         self.stft = STFT(cfg.frame_len, cfg.frame_hop, cfg.window,
                          cfg.normalize, cfg.round_pow_of_two)
+        # Reference quirk kept for parity: FeatureExtractor builds its iSTFT
+        # WITHOUT forwarding the window argument (feature.py:422-425), so
+        # synthesis always uses the default sqrt_hann (+ normalization)
+        # even when analysis uses hann. Shipped NOTSOFAR behavior.
+        self.istft_op = STFT(cfg.frame_len, cfg.frame_hop, "sqrt_hann",
+                             cfg.normalize, cfg.round_pow_of_two)
         self.has_spatial = bool(cfg.ipd_index)
         self.ipd_cfg = IPDConfig(cfg.ipd_index, cfg.ipd_cos, cfg.ipd_sin,
                                  cfg.ipd_mean_normalize,

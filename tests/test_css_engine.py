@@ -112,7 +112,7 @@ def reference_oracle(mix, model, variables, cfg: CssCfg, fs=FS):
     act = np.stack([erode_np(dilate_np(act_b[:, s], dil), ero)
                     for s in range(3)], axis=1)
     gated = stft_st * act[None]
-    wavs = np.asarray(model.extractor.stft.inverse(
+    wavs = np.asarray(model.extractor.istft_op.inverse(
         jnp.asarray(np.moveaxis(gated, 2, 0).astype(np.complex64))))
     return wavs, mask_st, act
 
