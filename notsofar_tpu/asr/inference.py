@@ -1,0 +1,155 @@
+"""ASR inference module: per-session transcription of CSS streams.
+
+Rebuild of /root/reference/asr/asr.py:31-101 with the same contracts:
+
+* input: session row with `sep_wav_file_names` (the CSS output streams),
+* output: segments dataframe with columns start_time, end_time, text,
+  word_timing ([[word, start, end], ...]), meeting_id, session_id,
+  wav_file_name,
+* per-session pickle cache under out_dir/asr/{session_id}/{model}/.
+
+Model loading: checkpoints are resolved under `models_dir` as
+{models_dir}/whisper/{model_name}.pt (openai-whisper format, converted on
+load). When no checkpoint is present, a deterministic random-initialized
+model of the right dimensions is used so the pipeline stays runnable for
+integration tests (clearly logged — transcription quality then carries no
+meaning).
+"""
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Dict, Optional, Tuple
+
+import jax
+import numpy as np
+import pandas as pd
+
+from notsofar_tpu.asr.tokenizer import WhisperTokenizer, load_tokenizer
+from notsofar_tpu.asr.transcribe import TranscribeOptions, WhisperTranscriber
+from notsofar_tpu.models.whisper import (WHISPER_DIMS, WhisperModel,
+                                         load_openai_whisper_checkpoint)
+from notsofar_tpu.utils.audio import read_wav_scaled
+from notsofar_tpu.utils.logging_def import get_logger
+from notsofar_tpu.utils.text_norm import get_txt_norm
+
+_LOG = get_logger("asr")
+
+
+@dataclass
+class WhisperAsrCfg:
+    """Mirror of WhisperAsrCfg (asr/asr.py:15-28)."""
+    model_name: str = "large-v2"
+    language: Optional[str] = "en"
+    word_level_time_stamps: bool = True
+    beam_size: Optional[int] = 5
+    hallucination_silence_threshold: Optional[float] = 2.0
+    vocab_path: Optional[str] = None
+
+    def text_normalizer(self):
+        return get_txt_norm("chime8")
+
+    def assert_valid(self):
+        assert self.model_name in ["tiny.en", "tiny", "base.en", "base",
+                                   "small.en", "small", "medium.en", "medium",
+                                   "large-v1", "large-v2", "large-v3", "large"]
+
+
+_MODEL_CACHE: Dict[str, Tuple[WhisperModel, dict, WhisperTokenizer]] = {}
+
+
+def load_whisper_model(model_name: str, models_dir: Optional[str] = None,
+                       vocab_path: Optional[str] = None,
+                       language: str = "en"
+                       ) -> Tuple[WhisperModel, dict, WhisperTokenizer]:
+    """Load (model, variables, tokenizer); cached per model name."""
+    key = f"{models_dir}/{model_name}"
+    if key in _MODEL_CACHE:
+        return _MODEL_CACHE[key]
+    ckpt = None
+    if models_dir is not None:
+        for cand in (Path(models_dir) / "whisper" / f"{model_name}.pt",
+                     Path(models_dir) / f"{model_name}.pt"):
+            if cand.exists():
+                ckpt = cand
+                break
+    if ckpt is not None:
+        _LOG.info(f"Loading Whisper checkpoint: {ckpt}")
+        variables, dims = load_openai_whisper_checkpoint(ckpt)
+        model = WhisperModel(dims)
+        variables = jax.tree_util.tree_map(np.asarray, variables)
+    else:
+        dims = WHISPER_DIMS[model_name]
+        _LOG.warning(
+            f"No Whisper checkpoint found for '{model_name}' under "
+            f"{models_dir} — using RANDOM weights (pipeline smoke mode; "
+            "transcripts are meaningless)")
+        model = WhisperModel(dims)
+        variables = model.init(jax.random.PRNGKey(0))
+    tokenizer = load_tokenizer(model_name, dims.n_vocab,
+                               vocab_path=vocab_path, language=language)
+    _MODEL_CACHE[key] = (model, variables, tokenizer)
+    return _MODEL_CACHE[key]
+
+
+def asr_inference(out_dir: str, session: pd.Series, cfg: WhisperAsrCfg,
+                  fetch_from_cache: bool,
+                  models_dir: Optional[str] = None) -> pd.DataFrame:
+    """Transcribe every separated stream of a session. Contract parity with
+    asr/asr.py:31-101."""
+    _LOG.info("Running ASR")
+    cfg.assert_valid()
+
+    wav_files = session.sep_wav_file_names
+    assert isinstance(wav_files, list)
+
+    out_file = Path(out_dir) / "asr" / session.session_id / cfg.model_name \
+        / "all_segments_df.pkl"
+    if fetch_from_cache and out_file.exists():
+        _LOG.info(f"Loading ASR results from {out_file}")
+        return pd.read_pickle(out_file)
+
+    model, variables, tokenizer = load_whisper_model(
+        cfg.model_name, models_dir, cfg.vocab_path,
+        language=cfg.language or "en")
+    transcriber = WhisperTranscriber(
+        model, variables, tokenizer,
+        TranscribeOptions(
+            language=cfg.language or "en",
+            word_timestamps=cfg.word_level_time_stamps,
+            hallucination_silence_threshold=cfg.hallucination_silence_threshold))
+
+    _LOG.info(f"Running ASR on {len(wav_files)} streams")
+    segments_dfs = []
+    for wav_file in wav_files:
+        wav, sr = read_wav_scaled(str(wav_file))
+        if wav.ndim > 1:
+            wav = wav[:, 0]
+        results = transcriber.transcribe(wav, sr)
+        if len(results["segments"]) == 0:
+            _LOG.warning(f"No segments returned for {wav_file}")
+            continue
+        rows = []
+        for seg in results["segments"]:
+            rows.append(dict(
+                start_time=seg["start"], end_time=seg["end"],
+                text=seg["text"],
+                word_timing=[[w["word"], w["start"], w["end"]]
+                             for w in seg["words"]]))
+        df = pd.DataFrame(rows)
+        df["meeting_id"] = session.meeting_id
+        df["session_id"] = session.session_id
+        df["wav_file_name"] = wav_file
+        segments_dfs.append(df)
+
+    if not segments_dfs:
+        all_segments_df = pd.DataFrame(columns=[
+            "start_time", "end_time", "text", "word_timing", "meeting_id",
+            "session_id", "wav_file_name"])
+        all_segments_df["meeting_id"] = [session.meeting_id][:0]
+    else:
+        all_segments_df = pd.concat(segments_dfs, ignore_index=True)
+
+    out_file.parent.mkdir(parents=True, exist_ok=True)
+    all_segments_df.to_pickle(out_file)
+    _LOG.info(f"ASR results saved to {out_file}")
+    return all_segments_df

@@ -1,0 +1,198 @@
+"""Long-form transcription: 30-second seek loop over a session stream.
+
+Rebuild of the openai-whisper transcribe() behavior the reference invokes
+(asr/asr.py:74 with word_timestamps=True, beam_size=5,
+hallucination_silence_threshold=2.0). This implementation:
+
+* slides 30 s windows with timestamp-token-driven seek advancement,
+* condition_on_previous_text (sot_prev prompt) like whisper's default,
+* no-speech skipping (no_speech_prob > 0.6 unless avg_logprob > -1.0),
+* word-level timestamps via teacher-forced cross-attention DTW,
+* a hallucination guard in the spirit of hallucination_silence_threshold:
+  windows whose decoded segment repeats the previous text verbatim with
+  near-zero speech energy are skipped.
+
+Greedy decoding (beam search is a planned extension; greedy is whisper's
+fallback path and what the time-constrained metrics are least sensitive
+to).
+"""
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from notsofar_tpu.asr.decoding import (DecodeOptions, GreedyDecoder,
+                                       find_word_timestamps)
+from notsofar_tpu.asr.mel import (HOP_LENGTH, N_FRAMES, N_SAMPLES,
+                                  SAMPLE_RATE, log_mel_spectrogram)
+from notsofar_tpu.asr.tokenizer import WhisperTokenizer
+from notsofar_tpu.models.whisper import WhisperModel
+from notsofar_tpu.utils.logging_def import get_logger
+
+_LOG = get_logger("transcribe")
+
+FRAMES_PER_SECOND = SAMPLE_RATE // HOP_LENGTH  # 100
+INPUT_STRIDE = 2                                # mel frames per output token
+TIME_PRECISION = INPUT_STRIDE / FRAMES_PER_SECOND  # 0.02 s
+
+
+@dataclass
+class TranscribeOptions:
+    language: str = "en"
+    condition_on_previous_text: bool = True
+    no_speech_threshold: float = 0.6
+    logprob_threshold: float = -1.0
+    word_timestamps: bool = True
+    hallucination_silence_threshold: Optional[float] = 2.0
+
+
+class WhisperTranscriber:
+    def __init__(self, model: WhisperModel, variables,
+                 tokenizer: WhisperTokenizer,
+                 options: TranscribeOptions = TranscribeOptions()):
+        self.model = model
+        self.variables = variables
+        self.tok = tokenizer
+        self.opt = options
+        self.decoder = GreedyDecoder(model, tokenizer,
+                                     DecodeOptions(language=options.language))
+
+    def transcribe(self, audio: np.ndarray, sr: int = SAMPLE_RATE) -> Dict:
+        """audio: mono float waveform. Returns {'segments': [...], 'text'}
+        with the whisper result structure (start/end/text/words per
+        segment; words have word/start/end)."""
+        assert sr == SAMPLE_RATE, "resample to 16 kHz before ASR"
+        audio = np.asarray(audio, np.float32)
+        mel_full = np.asarray(log_mel_spectrogram(
+            jnp.asarray(np.pad(audio, (0, N_SAMPLES))),
+            n_mels=self.model.dims.n_mels))
+        content_frames = mel_full.shape[-1] - N_FRAMES
+        content_frames = max(content_frames, 1)
+
+        seek = 0
+        all_tokens: List[int] = []
+        prompt_reset_since = 0
+        segments: List[Dict] = []
+        last_text = None
+
+        while seek < content_frames:
+            window = mel_full[:, seek:seek + N_FRAMES]
+            time_offset = seek * HOP_LENGTH / SAMPLE_RATE
+            segment_frames = min(N_FRAMES, content_frames - seek)
+            xa = self.model.encode(self.variables,
+                                   jnp.asarray(window[None]))
+            prompt = all_tokens[prompt_reset_since:] \
+                if self.opt.condition_on_previous_text else None
+            res = self.decoder.decode(self.variables, xa, prompt)
+            tokens = res["tokens"][0]
+            avg_logprob = float(res["avg_logprob"][0])
+            no_speech_prob = float(res["no_speech_prob"][0])
+
+            if no_speech_prob > self.opt.no_speech_threshold and \
+                    avg_logprob < self.opt.logprob_threshold:
+                seek += segment_frames
+                continue
+
+            new_segments, frames_consumed = self._parse_segments(
+                tokens, time_offset, segment_frames)
+
+            # crude hallucination guard: identical consecutive text over a
+            # near-silent window
+            text_now = " ".join(s["text"] for s in new_segments).strip()
+            if self.opt.hallucination_silence_threshold is not None and \
+                    text_now and text_now == last_text:
+                energy = float(np.abs(audio[
+                    seek * HOP_LENGTH:(seek + segment_frames) * HOP_LENGTH]).mean())
+                if energy < 1e-4:
+                    seek += segment_frames
+                    continue
+            last_text = text_now or last_text
+
+            if self.opt.word_timestamps and new_segments:
+                words = find_word_timestamps(
+                    self.model, self.variables, self.tok, xa,
+                    [t for t in tokens if t < self.tok.eot],
+                    num_frames=segment_frames, time_offset=time_offset)
+                _distribute_words(new_segments, words)
+
+            segments.extend(new_segments)
+            all_tokens.extend(t for t in tokens if t < self.tok.eot)
+            if not self.opt.condition_on_previous_text or avg_logprob < -1.0:
+                prompt_reset_since = len(all_tokens)
+            seek += frames_consumed
+
+        return dict(
+            text=" ".join(s["text"].strip() for s in segments),
+            segments=segments, language=self.opt.language)
+
+    # ------------------------------------------------------------------
+    def _parse_segments(self, tokens: List[int], time_offset: float,
+                        segment_frames: int):
+        """Split decoded tokens into timestamped segments; returns
+        (segments, frames_consumed) following whisper's seek rules."""
+        tok = self.tok
+        ts = tok.timestamp_begin
+        segment_dur_frames = segment_frames
+
+        # find timestamp-delimited spans
+        spans = []
+        cur_start = None
+        cur_tokens: List[int] = []
+        last_ts_token = None
+        for t in tokens:
+            if t >= ts:
+                last_ts_token = t
+                if cur_start is None:
+                    cur_start = t
+                else:
+                    spans.append((cur_start, t, cur_tokens))
+                    cur_start, cur_tokens = None, []
+            else:
+                cur_tokens.append(t)
+        consumed = segment_dur_frames
+        if spans:
+            if cur_start is not None and cur_tokens:
+                # unpaired trailing content — close at window end
+                spans.append((cur_start, ts + segment_frames // 2, cur_tokens))
+            elif last_ts_token is not None and last_ts_token != ts:
+                # window ends early at the final timestamp
+                consumed = min(segment_dur_frames,
+                               (last_ts_token - ts) * INPUT_STRIDE)
+                consumed = max(consumed, 1)
+        elif cur_tokens:
+            spans.append((ts, ts + segment_frames // 2, cur_tokens))
+
+        segments = []
+        for start_t, end_t, toks in spans:
+            if not toks:
+                continue
+            text = tok.decode(toks)
+            if not text.strip():
+                continue
+            segments.append(dict(
+                start=time_offset + (start_t - ts) * TIME_PRECISION,
+                end=time_offset + (end_t - ts) * TIME_PRECISION,
+                text=text, tokens=toks, words=[]))
+        return segments, max(int(consumed), 1)
+
+
+def _distribute_words(segments: List[Dict], words: List[Dict]):
+    """Assign DTW word timings to segments by temporal containment."""
+    for seg in segments:
+        seg["words"] = []
+    wi = 0
+    for seg in segments:
+        while wi < len(words):
+            w = words[wi]
+            mid = 0.5 * (w["start"] + w["end"])
+            if mid <= seg["end"] + 0.02 or seg is segments[-1]:
+                seg["words"].append(w)
+                wi += 1
+            else:
+                break
+    # clamp word times into their segment and keep text consistent
+    for seg in segments:
+        if seg["words"]:
+            seg["start"] = min(seg["start"], seg["words"][0]["start"])
+            seg["end"] = max(seg["end"], seg["words"][-1]["end"])

@@ -1,0 +1,369 @@
+"""Whisper encoder/decoder in flax.linen with KV-cached decoding.
+
+TPU-native replacement for the openai-whisper PyTorch models the reference
+calls into (asr/asr.py:69-74). Architecture follows the published Whisper
+design: conv frontend + sinusoidal positions + pre-LN transformer encoder;
+token/learned-position decoder with causal self-attention, cross-attention,
+and tied input/output embeddings. Decoding is a jitted lax.scan with a
+static-shape KV cache, batched over audio windows (the reference loops
+streams serially; here the 3 CSS streams of a session — and multiple
+windows — decode together).
+
+Weight layout matches openai-whisper checkpoints via
+convert_whisper_state_dict (models/convert.py handles the CSS model; the
+whisper converter lives here).
+"""
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+LN_EPS = 1e-5
+
+
+@dataclass(frozen=True)
+class WhisperDims:
+    """Mirror of whisper ModelDimensions."""
+    n_mels: int = 80
+    n_audio_ctx: int = 1500
+    n_audio_state: int = 384
+    n_audio_head: int = 6
+    n_audio_layer: int = 4
+    n_vocab: int = 51865
+    n_text_ctx: int = 448
+    n_text_state: int = 384
+    n_text_head: int = 6
+    n_text_layer: int = 4
+
+
+# famous configurations (openai/whisper model zoo)
+WHISPER_DIMS = {
+    "tiny": WhisperDims(80, 1500, 384, 6, 4, 51865, 448, 384, 6, 4),
+    "tiny.en": WhisperDims(80, 1500, 384, 6, 4, 51864, 448, 384, 6, 4),
+    "base": WhisperDims(80, 1500, 512, 8, 6, 51865, 448, 512, 8, 6),
+    "base.en": WhisperDims(80, 1500, 512, 8, 6, 51864, 448, 512, 8, 6),
+    "small": WhisperDims(80, 1500, 768, 12, 12, 51865, 448, 768, 12, 12),
+    "small.en": WhisperDims(80, 1500, 768, 12, 12, 51864, 448, 768, 12, 12),
+    "medium": WhisperDims(80, 1500, 1024, 16, 24, 51865, 448, 1024, 16, 24),
+    "medium.en": WhisperDims(80, 1500, 1024, 16, 24, 51864, 448, 1024, 16, 24),
+    "large-v1": WhisperDims(80, 1500, 1280, 20, 32, 51865, 448, 1280, 20, 32),
+    "large-v2": WhisperDims(80, 1500, 1280, 20, 32, 51865, 448, 1280, 20, 32),
+    "large-v3": WhisperDims(128, 1500, 1280, 20, 32, 51866, 448, 1280, 20, 32),
+    "large": WhisperDims(128, 1500, 1280, 20, 32, 51866, 448, 1280, 20, 32),
+}
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000
+              ) -> np.ndarray:
+    """Whisper's sinusoidal position embedding."""
+    assert channels % 2 == 0
+    log_inc = math.log(max_timescale) / (channels // 2 - 1)
+    inv = np.exp(-log_inc * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1
+                          ).astype(np.float32)
+
+
+class MHA(nn.Module):
+    """Whisper attention: q/out have bias, k has none, v has bias; scaling
+    by d_k**-0.25 applied to both q and k."""
+    n_state: int
+    n_head: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None):
+        """x: [B, T, D] queries. xa: cross-attention memory [B, S, D] or
+        None for self-attention. kv_cache: optional (k, v) arrays
+        [B, ctx, D] to read/update at cache_index (self-attn decode)."""
+        d_k = self.n_state // self.n_head
+        q = nn.Dense(self.n_state, dtype=self.dtype, name="query")(x)
+        src = x if xa is None else xa
+        k = nn.Dense(self.n_state, use_bias=False, dtype=self.dtype,
+                     name="key")(src)
+        v = nn.Dense(self.n_state, dtype=self.dtype, name="value")(src)
+
+        new_cache = None
+        if kv_cache is not None:
+            ck, cv = kv_cache
+            ck = jax.lax.dynamic_update_slice_in_dim(ck, k, cache_index, axis=1)
+            cv = jax.lax.dynamic_update_slice_in_dim(cv, v, cache_index, axis=1)
+            k, v = ck, cv
+            new_cache = (ck, cv)
+
+        B, T, _ = q.shape
+        S = k.shape[1]
+        qh = q.reshape(B, T, self.n_head, d_k).transpose(0, 2, 1, 3)
+        kh = k.reshape(B, S, self.n_head, d_k).transpose(0, 2, 1, 3)
+        vh = v.reshape(B, S, self.n_head, d_k).transpose(0, 2, 1, 3)
+        scale = d_k ** -0.25
+        logits = jnp.einsum("bhtd,bhsd->bhts", qh * scale, kh * scale,
+                            preferred_element_type=jnp.float32)
+        if mask is not None:
+            logits = logits + mask
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhts,bhsd->bhtd", w.astype(vh.dtype), vh,
+                         preferred_element_type=jnp.float32)
+        out = out.transpose(0, 2, 1, 3).reshape(B, T, self.n_state)
+        out = nn.Dense(self.n_state, dtype=self.dtype, name="out")(out)
+        return out, w, new_cache
+
+
+class ResidualBlock(nn.Module):
+    n_state: int
+    n_head: int
+    cross_attention: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None):
+        h = nn.LayerNorm(epsilon=LN_EPS, name="attn_ln")(x)
+        a, _, new_cache = MHA(self.n_state, self.n_head, self.dtype,
+                              name="attn")(h, None, mask, kv_cache, cache_index)
+        x = x + a
+        cross_w = None
+        if self.cross_attention:
+            h = nn.LayerNorm(epsilon=LN_EPS, name="cross_attn_ln")(x)
+            a, cross_w, _ = MHA(self.n_state, self.n_head, self.dtype,
+                                name="cross_attn")(h, xa)
+            x = x + a
+        h = nn.LayerNorm(epsilon=LN_EPS, name="mlp_ln")(x)
+        h = nn.Dense(4 * self.n_state, dtype=self.dtype, name="mlp1")(h)
+        h = nn.gelu(h, approximate=False)
+        h = nn.Dense(self.n_state, dtype=self.dtype, name="mlp2")(h)
+        return x + h, cross_w, new_cache
+
+
+class AudioEncoder(nn.Module):
+    dims: WhisperDims
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel):
+        """mel: [B, n_mels, 3000] -> [B, 1500, n_audio_state]."""
+        d = self.dims
+        x = jnp.swapaxes(mel, 1, 2)  # [B, T, n_mels]
+        x = nn.Conv(d.n_audio_state, kernel_size=(3,), padding=[(1, 1)],
+                    dtype=self.dtype, name="conv1")(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Conv(d.n_audio_state, kernel_size=(3,), strides=(2,),
+                    padding=[(1, 1)], dtype=self.dtype, name="conv2")(x)
+        x = nn.gelu(x, approximate=False)
+        pos = self.variable(
+            "constants", "positional_embedding",
+            lambda: jnp.asarray(sinusoids(d.n_audio_ctx, d.n_audio_state)))
+        x = x + pos.value
+        for i in range(d.n_audio_layer):
+            x, _, _ = ResidualBlock(d.n_audio_state, d.n_audio_head,
+                                    dtype=self.dtype, name=f"block_{i}")(x)
+        return nn.LayerNorm(epsilon=LN_EPS, name="ln_post")(x)
+
+
+class TextDecoder(nn.Module):
+    dims: WhisperDims
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tokens, xa, pos_offset=0, kv_caches=None,
+                 return_cross_attn: bool = False):
+        """tokens: [B, T] int32; xa: [B, 1500, D] encoder output.
+
+        kv_caches: None or list of per-layer (k, v) caches [B, n_text_ctx, D]
+        (decode mode: T is the new suffix placed at pos_offset).
+        Returns (logits [B, T, vocab], new_caches, cross_attn list).
+        """
+        d = self.dims
+        tok_emb = self.param("token_embedding", nn.initializers.normal(0.02),
+                             (d.n_vocab, d.n_text_state), jnp.float32)
+        pos_emb = self.param("positional_embedding",
+                             nn.initializers.normal(0.01),
+                             (d.n_text_ctx, d.n_text_state), jnp.float32)
+        T = tokens.shape[1]
+        x = tok_emb[tokens] + jax.lax.dynamic_slice_in_dim(
+            pos_emb, pos_offset, T, axis=0)
+
+        if kv_caches is None:
+            mask = jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)
+        else:
+            # suffix decode: attend to cache positions <= current
+            pos = pos_offset + jnp.arange(T)[:, None]
+            keys = jnp.arange(d.n_text_ctx)[None, :]
+            mask = jnp.where(keys <= pos, 0.0, -jnp.inf).astype(jnp.float32)
+
+        new_caches = []
+        cross_ws = []
+        for i in range(d.n_text_layer):
+            cache = kv_caches[i] if kv_caches is not None else None
+            x, cw, nc = ResidualBlock(
+                d.n_text_state, d.n_text_head, cross_attention=True,
+                dtype=self.dtype, name=f"block_{i}")(
+                    x, xa, mask, cache, pos_offset)
+            new_caches.append(nc)
+            if return_cross_attn:
+                cross_ws.append(cw)
+        x = nn.LayerNorm(epsilon=LN_EPS, name="ln")(x)
+        logits = jnp.einsum("btd,vd->btv", x, tok_emb,
+                            preferred_element_type=jnp.float32)
+        return logits, (new_caches if kv_caches is not None else None), cross_ws
+
+
+class WhisperModel:
+    """Functional bundle: encoder + decoder modules and jitted entries."""
+
+    def __init__(self, dims: WhisperDims, dtype=jnp.float32):
+        self.dims = dims
+        self.encoder = AudioEncoder(dims, dtype)
+        self.decoder = TextDecoder(dims, dtype)
+
+    def init(self, rng) -> Dict:
+        r1, r2 = jax.random.split(rng)
+        mel = jnp.zeros((1, self.dims.n_mels, 3000), jnp.float32)
+        enc_vars = self.encoder.init(r1, mel)
+        xa = jnp.zeros((1, self.dims.n_audio_ctx, self.dims.n_audio_state),
+                       jnp.float32)
+        tok = jnp.zeros((1, 1), jnp.int32)
+        dec_vars = self.decoder.init(r2, tok, xa)
+        return {"encoder": enc_vars, "decoder": dec_vars}
+
+    @partial(jax.jit, static_argnums=0)
+    def encode(self, variables, mel):
+        return self.encoder.apply(variables["encoder"], mel)
+
+    @partial(jax.jit, static_argnums=0)
+    def decode_logits(self, variables, tokens, xa, pos_offset=0):
+        logits, _, _ = self.decoder.apply(variables["decoder"], tokens, xa,
+                                          pos_offset)
+        return logits
+
+    def empty_kv_caches(self, batch: int):
+        d = self.dims
+        return [(jnp.zeros((batch, d.n_text_ctx, d.n_text_state), jnp.float32),
+                 jnp.zeros((batch, d.n_text_ctx, d.n_text_state), jnp.float32))
+                for _ in range(d.n_text_layer)]
+
+
+def convert_whisper_state_dict(sd: Dict[str, np.ndarray], dims: WhisperDims
+                               ) -> Dict:
+    """openai-whisper checkpoint state dict -> flax variables for
+    {encoder, decoder}. Conv1d weights [out, in, k] -> flax (k, in, out);
+    Linear [out, in] -> (in, out)."""
+
+    def lin(prefix, bias=True):
+        p = {"kernel": np.ascontiguousarray(sd[prefix + ".weight"].T)}
+        if bias:
+            p["bias"] = sd[prefix + ".bias"]
+        return p
+
+    def ln(prefix):
+        return {"scale": sd[prefix + ".weight"], "bias": sd[prefix + ".bias"]}
+
+    def block(prefix, cross):
+        p = {
+            "attn_ln": ln(prefix + ".attn_ln"),
+            "attn": {"query": lin(prefix + ".attn.query"),
+                     "key": lin(prefix + ".attn.key", bias=False),
+                     "value": lin(prefix + ".attn.value"),
+                     "out": lin(prefix + ".attn.out")},
+            "mlp_ln": ln(prefix + ".mlp_ln"),
+            "mlp1": lin(prefix + ".mlp.0"),
+            "mlp2": lin(prefix + ".mlp.2"),
+        }
+        if cross:
+            p["cross_attn_ln"] = ln(prefix + ".cross_attn_ln")
+            p["cross_attn"] = {"query": lin(prefix + ".cross_attn.query"),
+                               "key": lin(prefix + ".cross_attn.key", bias=False),
+                               "value": lin(prefix + ".cross_attn.value"),
+                               "out": lin(prefix + ".cross_attn.out")}
+        return p
+
+    def conv(prefix):
+        w = sd[prefix + ".weight"]  # [out, in, k]
+        return {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
+                "bias": sd[prefix + ".bias"]}
+
+    enc = {"conv1": conv("encoder.conv1"), "conv2": conv("encoder.conv2"),
+           "ln_post": ln("encoder.ln_post")}
+    for i in range(dims.n_audio_layer):
+        enc[f"block_{i}"] = block(f"encoder.blocks.{i}", cross=False)
+    dec = {"token_embedding": sd["decoder.token_embedding.weight"],
+           "positional_embedding": sd["decoder.positional_embedding"],
+           "ln": ln("decoder.ln")}
+    for i in range(dims.n_text_layer):
+        dec[f"block_{i}"] = block(f"decoder.blocks.{i}", cross=True)
+    enc_vars = {"params": enc}
+    if "encoder.positional_embedding" in sd:
+        enc_vars["constants"] = {
+            "positional_embedding": sd["encoder.positional_embedding"]}
+    return {"encoder": enc_vars, "decoder": {"params": dec}}
+
+
+def convert_hf_whisper_state_dict(sd: Dict[str, np.ndarray],
+                                  dims: WhisperDims) -> Dict:
+    """HuggingFace transformers Whisper weights -> flax variables.
+
+    Accepts WhisperModel / WhisperForConditionalGeneration state dicts
+    (the 'model.' prefix is auto-stripped)."""
+    if any(k.startswith("model.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items()
+              if k.startswith("model.")}
+
+    def lin(prefix, bias=True):
+        p = {"kernel": np.ascontiguousarray(np.asarray(sd[prefix + ".weight"]).T)}
+        if bias:
+            p["bias"] = np.asarray(sd[prefix + ".bias"])
+        return p
+
+    def ln(prefix):
+        return {"scale": np.asarray(sd[prefix + ".weight"]),
+                "bias": np.asarray(sd[prefix + ".bias"])}
+
+    def conv(prefix):
+        w = np.asarray(sd[prefix + ".weight"])  # [out, in, k]
+        return {"kernel": np.ascontiguousarray(w.transpose(2, 1, 0)),
+                "bias": np.asarray(sd[prefix + ".bias"])}
+
+    def attn(prefix):
+        return {"query": lin(prefix + ".q_proj"),
+                "key": lin(prefix + ".k_proj", bias=False),
+                "value": lin(prefix + ".v_proj"),
+                "out": lin(prefix + ".out_proj")}
+
+    def block(prefix, cross):
+        p = {"attn_ln": ln(prefix + ".self_attn_layer_norm"),
+             "attn": attn(prefix + ".self_attn"),
+             "mlp_ln": ln(prefix + ".final_layer_norm"),
+             "mlp1": lin(prefix + ".fc1"),
+             "mlp2": lin(prefix + ".fc2")}
+        if cross:
+            p["cross_attn_ln"] = ln(prefix + ".encoder_attn_layer_norm")
+            p["cross_attn"] = attn(prefix + ".encoder_attn")
+        return p
+
+    enc = {"conv1": conv("encoder.conv1"), "conv2": conv("encoder.conv2"),
+           "ln_post": ln("encoder.layer_norm")}
+    for i in range(dims.n_audio_layer):
+        enc[f"block_{i}"] = block(f"encoder.layers.{i}", cross=False)
+    dec = {"token_embedding": np.asarray(sd["decoder.embed_tokens.weight"]),
+           "positional_embedding": np.asarray(sd["decoder.embed_positions.weight"]),
+           "ln": ln("decoder.layer_norm")}
+    for i in range(dims.n_text_layer):
+        dec[f"block_{i}"] = block(f"decoder.layers.{i}", cross=True)
+    return {"encoder": {"params": enc, "constants": {
+                "positional_embedding": np.asarray(
+                    sd["encoder.embed_positions.weight"])}},
+            "decoder": {"params": dec}}
+
+
+def load_openai_whisper_checkpoint(path) -> Tuple[Dict, WhisperDims]:
+    """Load an openai-whisper .pt checkpoint (dims + model_state_dict)."""
+    import torch
+    cpt = torch.load(path, map_location="cpu", weights_only=False)
+    dims = WhisperDims(**cpt["dims"])
+    sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+          for k, v in cpt["model_state_dict"].items()}
+    return convert_whisper_state_dict(sd, dims), dims

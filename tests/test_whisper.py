@@ -1,0 +1,164 @@
+"""Whisper subsystem tests.
+
+transformers (baked into the environment) provides an independent oracle:
+the mel frontend is checked against WhisperFeatureExtractor and the
+encoder/decoder against HF WhisperModel with converted weights.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from notsofar_tpu.asr.mel import N_SAMPLES, log_mel_spectrogram, pad_or_trim
+from notsofar_tpu.asr.tokenizer import WhisperTokenizer, load_tokenizer
+from notsofar_tpu.models.whisper import (WhisperDims, WhisperModel,
+                                         convert_hf_whisper_state_dict)
+
+MINI = WhisperDims(n_mels=80, n_audio_ctx=1500, n_audio_state=64,
+                   n_audio_head=4, n_audio_layer=2, n_vocab=1864,
+                   n_text_ctx=448, n_text_state=64, n_text_head=4,
+                   n_text_layer=2)
+
+
+def mini_tokenizer() -> WhisperTokenizer:
+    # byte-level fallback: base vocab = 256 bytes; layout then gives
+    # n_vocab = 256 + 2 + 99 + 2 + 2 + 1 + 1 + 1501 = 1864 == MINI.n_vocab
+    return WhisperTokenizer(None, 256, multilingual=True, num_languages=99)
+
+
+@pytest.fixture(scope="module")
+def hf_pair():
+    import torch
+    from transformers import WhisperConfig, WhisperModel as HFWhisper
+    cfg = WhisperConfig(vocab_size=MINI.n_vocab, num_mel_bins=80,
+                        encoder_layers=2, encoder_attention_heads=4,
+                        decoder_layers=2, decoder_attention_heads=4,
+                        d_model=64, encoder_ffn_dim=256, decoder_ffn_dim=256,
+                        max_source_positions=1500, max_target_positions=448,
+                        pad_token_id=0)
+    torch.manual_seed(0)
+    hf = HFWhisper(cfg)
+    hf.eval()
+    sd = {k: v.numpy() for k, v in hf.state_dict().items()}
+    jm = WhisperModel(MINI)
+    variables = jax.tree_util.tree_map(
+        jnp.asarray, convert_hf_whisper_state_dict(sd, MINI))
+    return hf, jm, variables
+
+
+def test_mel_matches_hf_feature_extractor():
+    from transformers import WhisperFeatureExtractor
+    fe = WhisperFeatureExtractor()
+    x = np.random.RandomState(0).randn(16000 * 3).astype(np.float32) * 0.1
+    want = fe(x, sampling_rate=16000, return_tensors="np",
+              padding="max_length").input_features[0]
+    got = np.asarray(log_mel_spectrogram(jnp.asarray(pad_or_trim(x))))
+    assert got.shape == (80, 3000)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_encoder_decoder_match_hf(hf_pair):
+    import torch
+    hf, jm, variables = hf_pair
+    rng = np.random.RandomState(0)
+    mel = rng.randn(2, 80, 3000).astype(np.float32)
+    with torch.no_grad():
+        hf_enc = hf.encoder(torch.from_numpy(mel)).last_hidden_state.numpy()
+    j_enc = np.asarray(jm.encode(variables, jnp.asarray(mel)))
+    np.testing.assert_allclose(j_enc, hf_enc, atol=1e-4)
+
+    toks = np.array([[5, 9, 100, 3], [7, 2, 0, 1]])
+    with torch.no_grad():
+        hf_hidden = hf.decoder(
+            input_ids=torch.from_numpy(toks),
+            encoder_hidden_states=torch.from_numpy(hf_enc)).last_hidden_state
+        hf_logits = (hf_hidden @ hf.decoder.embed_tokens.weight.T).numpy()
+    j_logits = np.asarray(jm.decode_logits(
+        variables, jnp.asarray(toks.astype(np.int32)), jnp.asarray(j_enc)))
+    np.testing.assert_allclose(j_logits, hf_logits, atol=1e-4)
+
+
+def test_kv_cache_incremental_equals_full(hf_pair):
+    _, jm, variables = hf_pair
+    rng = np.random.RandomState(1)
+    xa = jnp.asarray(rng.randn(2, 1500, 64).astype(np.float32) * 0.1)
+    toks = rng.randint(0, 256, (2, 6)).astype(np.int32)
+    full = np.asarray(jm.decode_logits(variables, jnp.asarray(toks), xa))
+    cache = jm.empty_kv_caches(2)
+    incr = []
+    for t in range(6):
+        lg, cache, _ = jm.decoder.apply(
+            variables["decoder"], jnp.asarray(toks[:, t:t + 1]), xa, t, cache)
+        incr.append(np.asarray(lg)[:, 0])
+    np.testing.assert_allclose(np.stack(incr, 1), full, atol=1e-4)
+
+
+def test_tokenizer_layout_multilingual():
+    tok = load_tokenizer("large-v2", 51865)
+    assert tok.eot == 50257
+    assert tok.sot == 50258
+    assert tok.specials.languages["en"] == 50259
+    assert tok.specials.transcribe == 50359
+    assert tok.no_speech == 50362
+    assert tok.no_timestamps == 50363
+    assert tok.timestamp_begin == 50364
+    assert tok.sot_sequence == [50258, 50259, 50359]
+    # v3 has one more language
+    tok3 = load_tokenizer("large-v3", 51866)
+    assert tok3.timestamp_begin == 50365
+
+
+def test_byte_tokenizer_roundtrip():
+    tok = mini_tokenizer()
+    ids = tok.encode("hello world")
+    assert tok.decode(ids) == "hello world"
+    words, word_tokens = tok.split_to_word_tokens(tok.encode(" hello there"))
+    assert [w.strip() for w in words] == ["hello", "there"]
+
+
+def test_greedy_decode_smoke(hf_pair):
+    from notsofar_tpu.asr.decoding import DecodeOptions, GreedyDecoder
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    dec = GreedyDecoder(jm, tok, DecodeOptions(max_new_tokens=16))
+    rng = np.random.RandomState(2)
+    xa = jnp.asarray(rng.randn(2, 1500, 64).astype(np.float32) * 0.1)
+    res = dec.decode(variables, xa)
+    assert len(res["tokens"]) == 2
+    for t in res["tokens"]:
+        if t:  # first emitted token must be a timestamp (whisper rule)
+            assert t[0] >= tok.timestamp_begin
+    assert res["no_speech_prob"].shape == (2,)
+
+
+def test_transcribe_smoke(hf_pair):
+    from notsofar_tpu.asr.transcribe import TranscribeOptions, WhisperTranscriber
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    tr = WhisperTranscriber(jm, variables, tok,
+                            TranscribeOptions(word_timestamps=True))
+    audio = (np.random.RandomState(3).randn(16000 * 2) * 0.05).astype(np.float32)
+    out = tr.transcribe(audio)
+    assert "segments" in out and isinstance(out["segments"], list)
+    for seg in out["segments"]:
+        assert seg["end"] >= seg["start"] >= 0
+        for w in seg["words"]:
+            assert w["end"] >= w["start"]
+
+
+def test_dtw_path_monotonic():
+    from notsofar_tpu.asr.decoding import dtw_path
+    rng = np.random.RandomState(4)
+    cost = rng.rand(5, 20)
+    ti, tj = dtw_path(cost)
+    assert ti[0] == 0 and tj[0] == 0
+    assert ti[-1] == 4 and tj[-1] == 19
+    assert (np.diff(ti) >= 0).all() and (np.diff(tj) >= 0).all()
+
+
+def test_median_filter():
+    from notsofar_tpu.asr.decoding import median_filter
+    x = np.array([[0.0, 10.0, 0.0, 0.0, 0.0, 10.0, 0.0]])
+    y = median_filter(x, 3)
+    assert y.shape == x.shape
+    assert y[0, 1] == 0.0  # spike removed
