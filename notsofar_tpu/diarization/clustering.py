@@ -1,0 +1,162 @@
+"""Speaker clustering: cosine affinity, NMESC auto-tuning, spectral
+clustering.
+
+The reference imports these from NeMo (word_based_diarization.py:10). Native
+rebuild of the published NMESC algorithm (Park et al., "Auto-Tuning
+Spectral Clustering for Speaker Diarization Using Normalized Maximum
+Eigengap", IEEE SPL 2019) that NeMo implements:
+
+1. cosine affinity matrix, min-max scaled to [0, 1];
+2. sparse search over the binarization parameter p: keep the top-p
+   neighbors per row, symmetrize, estimate the speaker count from the
+   eigengap of the graph Laplacian, and compute the NME ratio
+   g_p = (p / N) / (max eigengap / max eigenvalue);
+3. pick p minimizing g_p, take its speaker-count estimate (capped at
+   max_num_speakers);
+4. spectral clustering: k smallest Laplacian eigenvectors + k-means++.
+
+Matrix sizes are #words x #words (hundreds to a few thousands) — eigen
+work runs on host in float64 via numpy/scipy for deterministic results.
+"""
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def cos_affinity_matrix(emb: np.ndarray) -> np.ndarray:
+    """emb: [N, D] -> affinity [N, N] min-max scaled to [0, 1]."""
+    emb = np.asarray(emb, np.float64)
+    norms = np.linalg.norm(emb, axis=1, keepdims=True) + 1e-12
+    e = emb / norms
+    sim = e @ e.T
+    np.fill_diagonal(sim, 1.0)
+    lo, hi = sim.min(), sim.max()
+    if hi - lo < 1e-12:
+        return np.ones_like(sim)
+    return (sim - lo) / (hi - lo)
+
+
+def binarize_top_p(mat: np.ndarray, p: int) -> np.ndarray:
+    """Keep each row's top-p affinity values (others zeroed), then
+    symmetrize by averaging — NeMo's getAffinityGraphMat equivalent."""
+    N = mat.shape[0]
+    p = int(np.clip(p, 1, N))
+    idx = np.argpartition(mat, N - p, axis=1)[:, N - p:]
+    x = np.zeros_like(mat)
+    rows = np.arange(N)[:, None]
+    x[rows, idx] = mat[rows, idx]
+    return 0.5 * (x + x.T)
+
+
+def laplacian(aff: np.ndarray) -> np.ndarray:
+    d = aff.sum(axis=1)
+    L = -aff.copy()
+    np.fill_diagonal(L, d - np.diag(aff))
+    return L
+
+
+def estimate_num_speakers(aff: np.ndarray, max_num_speakers: int = 8
+                          ) -> Tuple[int, np.ndarray, np.ndarray]:
+    """Eigengap speaker-count estimate on the graph Laplacian."""
+    L = laplacian(aff)
+    lambdas = np.sort(np.linalg.eigvalsh(L))
+    lambdas = np.maximum(lambdas, 0.0)
+    upper = min(max_num_speakers + 1, len(lambdas))
+    gaps = np.diff(lambdas[:upper])  # gap k = lambda_{k+1} - lambda_k
+    if len(gaps) == 0:
+        return 1, lambdas, np.zeros(1)
+    num_spk = int(np.argmax(gaps)) + 1
+    return num_spk, lambdas, gaps
+
+
+@dataclass
+class NmescResult:
+    num_speakers: int
+    p_hat: int
+    g_p: float
+
+
+def nmesc(affinity: np.ndarray, max_num_speakers: int = 8,
+          max_rp_threshold: float = 0.06,
+          sparse_search_volume: int = 30,
+          min_samples_for_nmesc: int = 6) -> NmescResult:
+    """Normalized Maximum Eigengap search over the pruning parameter p.
+
+    Contract parity with run_clustering's NMESC usage
+    (word_based_diarization.py:32-50): same defaults for max speakers (8),
+    max_rp_threshold (0.06) and sparse_search_volume (30).
+    """
+    N = affinity.shape[0]
+    if N < min_samples_for_nmesc:
+        return NmescResult(1 if N <= 1 else
+                           estimate_num_speakers(affinity, 2)[0], max(1, N // 2), 0.0)
+    p_max = max(int(np.floor(N * max_rp_threshold)), 2)
+    candidates = np.unique(np.linspace(1, p_max, num=min(
+        sparse_search_volume, p_max)).astype(int))
+    best = None
+    for p in candidates:
+        aff_p = binarize_top_p(affinity, int(p))
+        num_spk, lambdas, gaps = estimate_num_speakers(aff_p, max_num_speakers)
+        lambda_max = max(lambdas.max(), 1e-10)
+        max_gap = gaps.max() if len(gaps) else 0.0
+        nme = max_gap / lambda_max
+        g_p = (p / N) / (nme + 1e-10)
+        if best is None or g_p < best.g_p:
+            best = NmescResult(num_spk, int(p), float(g_p))
+    return best
+
+
+def _kmeans_pp_init(x: np.ndarray, k: int, rng: np.random.RandomState
+                    ) -> np.ndarray:
+    centers = [x[rng.randint(len(x))]]
+    for _ in range(1, k):
+        d2 = np.min([((x - c) ** 2).sum(1) for c in centers], axis=0)
+        probs = d2 / max(d2.sum(), 1e-12)
+        centers.append(x[rng.choice(len(x), p=probs)])
+    return np.stack(centers)
+
+
+def kmeans(x: np.ndarray, k: int, n_iter: int = 300, seed: int = 0,
+           n_init: int = 10) -> np.ndarray:
+    """k-means++ with several restarts; deterministic via seed."""
+    rng = np.random.RandomState(seed)
+    best_labels, best_inertia = None, None
+    for _ in range(n_init):
+        c = _kmeans_pp_init(x, k, rng)
+        for _ in range(n_iter):
+            d = ((x[:, None, :] - c[None]) ** 2).sum(-1)
+            labels = d.argmin(1)
+            newc = np.stack([
+                x[labels == j].mean(0) if (labels == j).any() else c[j]
+                for j in range(k)])
+            if np.allclose(newc, c):
+                break
+            c = newc
+        inertia = ((x - c[labels]) ** 2).sum()
+        if best_inertia is None or inertia < best_inertia:
+            best_labels, best_inertia = labels, inertia
+    return best_labels
+
+
+def spectral_clustering(aff: np.ndarray, n_clusters: int, seed: int = 0
+                        ) -> np.ndarray:
+    """k smallest Laplacian eigenvectors + k-means (NeMo's
+    SpectralClustering equivalent)."""
+    if n_clusters <= 1 or aff.shape[0] <= 1:
+        return np.zeros(aff.shape[0], np.int64)
+    L = laplacian(aff)
+    vals, vecs = np.linalg.eigh(L)
+    emb = vecs[:, :n_clusters]
+    return kmeans(emb, n_clusters, seed=seed).astype(np.int64)
+
+
+def run_clustering(raw_affinity: np.ndarray, max_num_speakers: int = 8,
+                   max_rp_threshold: float = 0.06,
+                   sparse_search_volume: int = 30) -> np.ndarray:
+    """NMESC + spectral clustering, contract parity with run_clustering
+    (word_based_diarization.py:32-50)."""
+    res = nmesc(raw_affinity, max_num_speakers, max_rp_threshold,
+                sparse_search_volume)
+    aff = binarize_top_p(raw_affinity, res.p_hat)
+    return spectral_clustering(aff, res.num_speakers)

@@ -1,0 +1,217 @@
+"""TitaNet-style speaker-embedding encoder in flax.
+
+TPU-native replacement for NeMo's EncDecSpeakerLabelModel('titanet_large')
+used by word-based diarization (word_based_diarization.py:21-29). The
+architecture follows the published TitaNet design (Koluguri et al., 2022):
+
+    mel features (80, 25ms/10ms, per-feature normalized)
+    -> prologue: separable conv block (k=3)
+    -> 3 mega blocks: repeated separable convs + residual + squeeze-excite
+       (kernels 7/11/15, 1024 channels for the 'large' variant)
+    -> epilogue separable conv (k=1, 3072 channels)
+    -> attentive statistics pooling (mean||std with learned attention)
+    -> bottleneck linear -> 192-d embedding.
+
+A NeMo-checkpoint converter maps the torch state dict onto this tree; with
+no checkpoint available the randomly initialized model keeps the
+diarization pipeline runnable end-to-end (embeddings then carry no speaker
+information, which the tests account for by injecting synthetic encoders).
+"""
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class TitaNetConfig:
+    n_mels: int = 80
+    filters: int = 1024
+    prologue_kernel: int = 3
+    block_kernels: Tuple[int, ...] = (7, 11, 15)
+    block_repeat: int = 3
+    epilogue_filters: int = 3072
+    se_reduction: int = 8
+    attention_dim: int = 128
+    emb_dim: int = 192
+    dropout: float = 0.0
+
+
+def titanet_features(audio: jnp.ndarray, sr: int = 16000,
+                     n_mels: int = 80) -> jnp.ndarray:
+    """[B, T] waveform -> [B, n_mels, frames] normalized log-mel.
+
+    NeMo AudioToMelSpectrogramPreprocessor semantics: 25 ms window / 10 ms
+    hop, 512-point FFT, slaney mel, log, then per-feature (per mel bin)
+    mean/variance normalization over time.
+    """
+    from notsofar_tpu.asr.mel import mel_filterbank
+    win, hop, nfft = 400, 160, 512
+    n = np.arange(win)
+    w = 0.5 * (1 - np.cos(2 * np.pi * n / (win - 1)))  # symmetric hann
+    f = np.arange(nfft // 2 + 1)
+    ph = 2 * np.pi * np.outer(f, n) / nfft
+    Kr = jnp.asarray((np.cos(ph) * w).astype(np.float32))
+    Ki = jnp.asarray((-np.sin(ph) * w).astype(np.float32))
+    pad = win // 2
+    x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)],
+                mode="reflect")
+    T = (x.shape[-1] - win) // hop + 1
+    idx = np.arange(T)[:, None] * hop + np.arange(win)[None, :]
+    frames = x[..., idx]
+    r = jnp.einsum("...tl,fl->...ft", frames, Kr,
+                   preferred_element_type=jnp.float32)
+    i = jnp.einsum("...tl,fl->...ft", frames, Ki,
+                   preferred_element_type=jnp.float32)
+    mag2 = r * r + i * i
+    fb = jnp.asarray(mel_filterbank(n_mels, sr, nfft))
+    mel = jnp.einsum("mf,...ft->...mt", fb, mag2,
+                     preferred_element_type=jnp.float32)
+    logmel = jnp.log(mel + 2 ** -24)
+    mean = logmel.mean(axis=-1, keepdims=True)
+    std = logmel.std(axis=-1, keepdims=True) + 1e-5
+    return (logmel - mean) / std
+
+
+class SeparableConv(nn.Module):
+    filters: int
+    kernel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        """x: [B, T, C]."""
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(x.shape[-1], kernel_size=(self.kernel,),
+                    padding=[(pad, pad)], feature_group_count=x.shape[-1],
+                    use_bias=False, dtype=self.dtype, name="dw")(x)
+        x = nn.Conv(self.filters, kernel_size=(1,), use_bias=False,
+                    dtype=self.dtype, name="pw")(x)
+        return x
+
+
+class SqueezeExcite(nn.Module):
+    reduction: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        """x: [B, T, C]; mask: [B, T, 1] valid-frame mask."""
+        denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
+        s = (x * mask).sum(axis=1, keepdims=True) / denom  # [B,1,C]
+        C = x.shape[-1]
+        s = nn.Dense(C // self.reduction, dtype=self.dtype, name="fc1")(s)
+        s = nn.relu(s)
+        s = nn.Dense(C, dtype=self.dtype, name="fc2")(s)
+        return x * jax.nn.sigmoid(s)
+
+
+class TitaNetBlock(nn.Module):
+    cfg: TitaNetConfig
+    kernel: int
+    repeat: int
+    residual: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        inp = x
+        for r in range(self.repeat):
+            x = SeparableConv(self.cfg.filters, self.kernel, self.dtype,
+                              name=f"conv_{r}")(x * mask)
+            x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-3, name=f"bn_{r}")(x)
+            if r < self.repeat - 1:
+                x = nn.relu(x)
+        x = SqueezeExcite(self.cfg.se_reduction, self.dtype, name="se")(x, mask)
+        if self.residual:
+            res = nn.Conv(self.cfg.filters, kernel_size=(1,), use_bias=False,
+                          dtype=self.dtype, name="res_pw")(inp)
+            res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                               epsilon=1e-3, name="res_bn")(res)
+            x = x + res
+        return nn.relu(x)
+
+
+class AttentiveStatsPooling(nn.Module):
+    attention_dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask):
+        """x: [B, T, C] -> [B, 2C] attentively weighted mean || std."""
+        h = nn.Conv(self.attention_dim, kernel_size=(1,), dtype=self.dtype,
+                    name="att1")(x)
+        h = jnp.tanh(h)
+        logits = nn.Conv(x.shape[-1], kernel_size=(1,), dtype=self.dtype,
+                         name="att2")(h)
+        logits = jnp.where(mask > 0, logits, -1e30)
+        alpha = jax.nn.softmax(logits, axis=1)
+        mean = (alpha * x).sum(axis=1)
+        var = (alpha * x * x).sum(axis=1) - mean ** 2
+        std = jnp.sqrt(jnp.clip(var, 1e-8))
+        return jnp.concatenate([mean, std], axis=-1)
+
+
+class TitaNet(nn.Module):
+    cfg: TitaNetConfig = field(default_factory=TitaNetConfig)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, lengths, train: bool = False):
+        """feats: [B, n_mels, T]; lengths: [B] valid frames.
+        Returns (logits_emb [B, emb_dim], embedding [B, emb_dim])."""
+        c = self.cfg
+        x = jnp.swapaxes(feats, 1, 2)  # [B, T, n_mels]
+        T = x.shape[1]
+        mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
+        mask = mask.astype(x.dtype)
+        x = TitaNetBlock(c, c.prologue_kernel, 1, residual=False,
+                         dtype=self.dtype, name="prologue")(x, mask, train)
+        for bi, k in enumerate(c.block_kernels):
+            x = TitaNetBlock(c, k, c.block_repeat, residual=True,
+                             dtype=self.dtype, name=f"block_{bi}")(x, mask, train)
+        x = SeparableConv(c.epilogue_filters, 1, self.dtype, name="epilogue")(
+            x * mask)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-3, name="epilogue_bn")(x)
+        x = nn.relu(x)
+        stats = AttentiveStatsPooling(c.attention_dim, self.dtype,
+                                      name="pool")(x, mask)
+        stats = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                             epsilon=1e-3, name="stats_bn")(stats[:, None])[:, 0]
+        emb = nn.Dense(c.emb_dim, use_bias=False, dtype=self.dtype,
+                       name="emb")(stats)
+        emb = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                           epsilon=1e-3, name="emb_bn")(emb[:, None])[:, 0]
+        return emb, emb
+
+
+class SpeakerEncoder:
+    """Bundle of (module, variables) with a batched embedding entry point."""
+
+    def __init__(self, cfg: TitaNetConfig = TitaNetConfig(), variables=None,
+                 rng=None):
+        self.cfg = cfg
+        self.module = TitaNet(cfg)
+        if variables is None:
+            rng = rng if rng is not None else jax.random.PRNGKey(0)
+            feats = jnp.zeros((1, cfg.n_mels, 50), jnp.float32)
+            variables = self.module.init(rng, feats, jnp.asarray([50]))
+        self.variables = variables
+
+    @partial(jax.jit, static_argnums=0)
+    def _embed(self, variables, wavs, lengths_samples):
+        feats = titanet_features(wavs)
+        frame_lengths = lengths_samples // 160 + 1
+        _, emb = self.module.apply(variables, feats, frame_lengths)
+        return emb
+
+    def embed(self, wavs: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """wavs: [B, T] zero-padded; lengths: [B] valid samples -> [B, emb]."""
+        return np.asarray(self._embed(self.variables, jnp.asarray(wavs),
+                                      jnp.asarray(lengths)))

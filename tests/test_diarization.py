@@ -1,0 +1,192 @@
+"""Diarization tests: clustering (NMESC + spectral), word-based pipeline
+with a synthetic speaker encoder, dataframe utilities, dispatch modes."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from notsofar_tpu.diarization.clustering import (binarize_top_p,
+                                                 cos_affinity_matrix, kmeans,
+                                                 nmesc, run_clustering,
+                                                 spectral_clustering)
+from notsofar_tpu.diarization.common import (DiarizationCfg,
+                                             compute_overlap_ratio,
+                                             deduplicate,
+                                             merge_words_to_segments_by_spk_change)
+from notsofar_tpu.diarization.diarization import diarization_inference
+
+
+def synth_embeddings(rng, n_per_cluster, centers, noise=0.05):
+    embs, labels = [], []
+    for i, c in enumerate(centers):
+        embs.append(c[None] + rng.randn(n_per_cluster, len(c)) * noise)
+        labels += [i] * n_per_cluster
+    return np.concatenate(embs), np.array(labels)
+
+
+def agree(labels, truth):
+    """Cluster-label agreement up to permutation."""
+    from scipy.optimize import linear_sum_assignment
+    k = max(labels.max(), truth.max()) + 1
+    conf = np.zeros((k, k))
+    for l, t in zip(labels, truth):
+        conf[l, t] += 1
+    r, c = linear_sum_assignment(-conf)
+    return conf[r, c].sum() / len(labels)
+
+
+def test_cos_affinity_range():
+    rng = np.random.RandomState(0)
+    emb = rng.randn(20, 8)
+    aff = cos_affinity_matrix(emb)
+    assert aff.shape == (20, 20)
+    assert aff.min() >= 0 and aff.max() <= 1 + 1e-9
+    assert np.allclose(aff, aff.T)
+
+
+def test_nmesc_finds_cluster_count():
+    rng = np.random.RandomState(1)
+    centers = [np.eye(8)[i] for i in range(3)]
+    emb, truth = synth_embeddings(rng, 40, centers)
+    aff = cos_affinity_matrix(emb)
+    res = nmesc(aff)
+    assert res.num_speakers == 3
+
+
+def test_run_clustering_recovers_labels():
+    rng = np.random.RandomState(2)
+    centers = [np.eye(8)[i] for i in range(4)]
+    emb, truth = synth_embeddings(rng, 30, centers)
+    labels = run_clustering(cos_affinity_matrix(emb))
+    assert agree(labels, truth) > 0.95
+
+
+def test_spectral_clustering_two_blobs():
+    rng = np.random.RandomState(3)
+    emb, truth = synth_embeddings(rng, 25, [np.array([1.0, 0.0]),
+                                            np.array([0.0, 1.0])])
+    aff = cos_affinity_matrix(emb)
+    labels = spectral_clustering(binarize_top_p(aff, 5), 2)
+    assert agree(labels, truth) == 1.0
+
+
+def test_kmeans_basic():
+    rng = np.random.RandomState(4)
+    x = np.concatenate([rng.randn(30, 2) * 0.1,
+                        rng.randn(30, 2) * 0.1 + 5])
+    labels = kmeans(x, 2, seed=0)
+    assert len(set(labels[:30])) == 1 and len(set(labels[30:])) == 1
+
+
+def test_merge_words_by_spk_change():
+    words = [["a", 0, 1, 0, "spk0"], ["b", 1, 2, 0, "spk0"],
+             ["c", 2, 3, 0, "spk1"], ["d", 3, 4, 1, "spk1"]]
+    segs = merge_words_to_segments_by_spk_change(words)
+    assert len(segs["speaker_id"]) == 3  # spk change then channel change
+    assert segs["speaker_id"] == ["spk0", "spk1", "spk1"]
+
+
+def test_dedup_overlapping_duplicates():
+    words = [["x", 0.0, 1.0, 0, "spk0"],
+             ["hello", 1.0, 2.0, 0, "spk0"],
+             ["hello", 1.1, 2.1, 1, "spk0"],   # dup, >50% overlap, same spk
+             ["world", 2.5, 3.0, 1, "spk0"]]
+    out = deduplicate(words)
+    texts = [w[0] for w in out]
+    assert texts == ["hello", "world"]  # first word dropped by convention
+
+
+def test_overlap_ratio():
+    assert compute_overlap_ratio(0, 1, 2, 3) == 0
+    assert compute_overlap_ratio(0, 2, 1, 3) == 0.5
+
+
+def _segments_df(tmp_path, speakers="ab"):
+    """Two CSS stream wavs: low-frequency speaker vs high-frequency
+    speaker, words alternating."""
+    from notsofar_tpu.utils.audio import write_wav
+    sr = 16000
+    t = np.arange(sr * 16) / sr
+    low = 0.5 * np.sin(2 * np.pi * 150 * t).astype(np.float32)
+    high = 0.5 * np.sin(2 * np.pi * 2500 * t).astype(np.float32)
+    f0, f1 = tmp_path / "sep_stream0.wav", tmp_path / "sep_stream1.wav"
+    write_wav(f0, low, sr, max_norm=False)
+    write_wav(f1, high, sr, max_norm=False)
+    rows = []
+    for k in range(76):
+        start = k * 0.2
+        wav = str(f0) if k % 2 == 0 else str(f1)
+        rows.append(dict(
+            start_time=start, end_time=start + 0.18,
+            text=f"word{k}", word_timing=[[f"word{k}", start, start + 0.18]],
+            meeting_id="MTG_0001", session_id="multichannel/MTG_0001_dev",
+            wav_file_name=wav))
+    return pd.DataFrame(rows)
+
+
+class SpectralToyEncoder:
+    """Embeds a window by its low/high band energy split — enough to
+    separate the two synthetic speakers."""
+
+    class cfg:
+        emb_dim = 4
+
+    def embed(self, wavs, lengths):
+        out = []
+        rng = np.random.RandomState(abs(int(lengths.sum())) % 2 ** 31)
+        for w, n in zip(wavs, lengths):
+            x = w[:n]
+            spec = np.abs(np.fft.rfft(x, 4096))
+            lowe = spec[:300].sum()
+            highe = spec[300:].sum()
+            tot = lowe + highe + 1e-9
+            e = np.array([lowe / tot, highe / tot, 1.0, 0.5])
+            out.append(e + rng.randn(4) * 0.01)  # break degenerate ties
+        return np.asarray(out, np.float32)
+
+
+def test_word_based_clustering_end_to_end(tmp_path):
+    df = _segments_df(tmp_path)
+    cfg = DiarizationCfg(method="word_nmesc",
+                         min_embedding_windows=[1.0, 0.5],
+                         apply_deduplication=False)
+    out = diarization_inference(str(tmp_path), df, cfg, False,
+                                encoder=SpectralToyEncoder())
+    assert "speaker_id" in out.columns
+    # words from the low stream must share one label, high stream another
+    spk_by_stream = {}
+    for _, row in out.iterrows():
+        spk_by_stream.setdefault(row.wav_file_name, set()).add(row.speaker_id)
+    labelsets = list(spk_by_stream.values())
+    assert all(len(s) == 1 for s in labelsets)
+    assert labelsets[0] != labelsets[1]
+
+
+def test_dispatch_skip_and_by_wav(tmp_path):
+    df = _segments_df(tmp_path)
+    out = diarization_inference(str(tmp_path), df,
+                                DiarizationCfg(method="skip"), False)
+    assert (out.speaker_id == "spk0").all()
+    out2 = diarization_inference(str(tmp_path), df,
+                                 DiarizationCfg(method="by_wav_file_name"),
+                                 False)
+    assert out2.speaker_id.nunique() == 2
+
+
+def test_time_based_diarization_runs(tmp_path):
+    df = _segments_df(tmp_path)
+    cfg = DiarizationCfg(method="nmesc")
+    out = diarization_inference(str(tmp_path), df, cfg, False,
+                                encoder=SpectralToyEncoder())
+    assert "speaker_id" in out.columns
+    assert len(out) > 0
+
+
+def test_titanet_shapes():
+    import jax
+    from notsofar_tpu.models.titanet import SpeakerEncoder, TitaNetConfig
+    enc = SpeakerEncoder(TitaNetConfig(filters=32, epilogue_filters=64,
+                                       attention_dim=16, emb_dim=8))
+    wavs = np.random.RandomState(0).randn(2, 4000).astype(np.float32) * 0.1
+    emb = enc.embed(wavs, np.array([4000, 2000], np.int32))
+    assert emb.shape == (2, 8)
+    assert np.isfinite(emb).all()
