@@ -85,14 +85,14 @@ class CssModel:
     def masks_from_feature(self, variables: Dict, f: jnp.ndarray,
                            deterministic: bool = True,
                            use_running_average: bool = True,
-                           mutable=False):
+                           mutable=False, rngs=None):
         return self.module.apply(variables, f, deterministic=deterministic,
                                  use_running_average=use_running_average,
-                                 mutable=mutable)
+                                 mutable=mutable, rngs=rngs)
 
     def separate(self, variables: Dict, stft_c: jnp.ndarray,
                  deterministic: bool = True, use_running_average: bool = True,
-                 mutable=False) -> Dict[str, jnp.ndarray]:
+                 mutable=False, rngs=None) -> Dict[str, jnp.ndarray]:
         """stft_c: complex [B,F,T,Mics] (MC) or [B,F,T] (SC) -> mask dict.
 
         Parity with conformer_wrapper.py:79-104.
@@ -104,7 +104,7 @@ class CssModel:
         mag, pha = jnp.abs(cm), jnp.angle(cm)
         _, _, feat = self.extractor(mag, pha)  # [B, D, T]
         out = self.masks_from_feature(variables, feat, deterministic,
-                                      use_running_average, mutable)
+                                      use_running_average, mutable, rngs)
         if mutable:
             all_masks, new_vars = out
         else:
@@ -119,7 +119,7 @@ class CssModel:
 
     def forward(self, variables: Dict, mix: jnp.ndarray,
                 deterministic: bool = True, use_running_average: bool = True,
-                mutable=False):
+                mutable=False, rngs=None):
         """mix: [B, T, Mics] time-domain -> mask dict.
 
         Parity with conformer_wrapper.py:58-77 (squeezes the mic axis for SC).
@@ -131,7 +131,7 @@ class CssModel:
         s = mix[:, :, 0] if is_sc else mix
         stft_c = self.stft(s)
         return self.separate(variables, stft_c, deterministic,
-                             use_running_average, mutable)
+                             use_running_average, mutable, rngs)
 
 
 def make_css_model(cfg: Optional[ConformerCssConfig] = None,

@@ -1,0 +1,90 @@
+"""Device mesh + sharding helpers (the SPMD substrate).
+
+Replaces the reference's torch.distributed/NCCL machinery
+(css/training/train.py:115-154, utils/torch_utils.py) with JAX SPMD:
+
+* a Mesh over all (local or distributed) devices with a data axis 'dp'
+  (and an optional model axis 'mp' for tensor-parallel serving of large
+  models);
+* batch sharding via NamedSharding(P('dp', ...)); parameters replicated.
+  Under jit, XLA inserts the gradient all-reduce over ICI — the DDP
+  equivalent with zero framework code;
+* session sharding for inference: deal sessions round-robin across
+  processes (the DDPRowIterator equivalent, minus the dummy-row padding —
+  single-controller JAX needs no collective-call alignment).
+
+Multi-host: call jax.distributed.initialize() before any jax op (env-driven,
+no-op for single host).
+"""
+import os
+from typing import Iterable, Iterator, List, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def maybe_initialize_distributed():
+    """jax.distributed.initialize from env (torchrun-style), no-op single."""
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+
+
+def make_mesh(devices: Optional[List] = None, dp: Optional[int] = None,
+              mp: int = 1, dp_axis: str = "dp", mp_axis: str = "mp") -> Mesh:
+    """1-D or 2-D mesh over devices: [dp, mp]."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if dp is None:
+        assert n % mp == 0
+        dp = n // mp
+    assert dp * mp <= n
+    arr = np.asarray(devices[: dp * mp]).reshape(dp, mp)
+    return Mesh(arr, (dp_axis, mp_axis))
+
+
+def data_sharding(mesh: Mesh, ndim: int, dp_axis: str = "dp") -> NamedSharding:
+    """Shard the leading (batch) axis over dp, replicate the rest."""
+    return NamedSharding(mesh, P(dp_axis, *([None] * (ndim - 1))))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict, dp_axis: str = "dp") -> dict:
+    """Device-put a numpy batch dict with the batch axis sharded over dp.
+
+    Ragged final batches (size not divisible by the dp extent) fall back to
+    replication — correctness first; the training loader drops the remainder
+    anyway, so this only affects the tail of evaluation.
+    """
+    dp = mesh.shape[dp_axis]
+    out = {}
+    for k, v in batch.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1:
+            if v.shape[0] % dp == 0:
+                out[k] = jax.device_put(v, data_sharding(mesh, v.ndim, dp_axis))
+            else:
+                out[k] = jax.device_put(v, replicated(mesh))
+        else:
+            out[k] = v
+    return out
+
+
+def replicate_tree(mesh: Mesh, tree):
+    sharding = replicated(mesh)
+    return jax.device_put(tree, sharding)
+
+
+def shard_sessions(num_sessions: int, process_index: Optional[int] = None,
+                   process_count: Optional[int] = None) -> List[int]:
+    """Strided round-robin session assignment for this process.
+
+    Equivalent to DDPRowIterator (utils/torch_utils.py:48-99) without the
+    dummy-row padding: JAX inference here issues no cross-process
+    collectives per session, so ranks need not stay in lockstep.
+    """
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return list(range(pi, num_sessions, pc))
