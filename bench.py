@@ -1,0 +1,68 @@
+"""Benchmark: CSS separation throughput on the real chip.
+
+Measures the multichannel CSS engine end-to-end — full-session STFT,
+windowed Conformer-large mask estimation, on-device MVDR, PIT stitching,
+activity gating, iSTFT — on a synthetic 7-mic session, and reports RTFx
+(audio seconds processed per wall-clock second per chip).
+
+Prints ONE JSON line:
+    {"metric": "css_mc_rtfx", "value": N, "unit": "audio_sec/sec/chip",
+     "vs_baseline": N / 50.0}
+vs_baseline is relative to the ≥50x real-time per-chip north star
+(BASELINE.md). The model uses the shipped conformer1.0-large architecture
+(18 blocks, 512 dim) with random weights — identical FLOPs to serving the
+real checkpoint.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main(audio_seconds: float = 120.0, repeats: int = 3):
+    import jax
+    from notsofar_tpu.css.engine import CssCfg, CssEngine
+    from notsofar_tpu.models.css_wrapper import (ConformerCssConfig, CssModel,
+                                                 NnetConfig,
+                                                 large_conformer_config)
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    cfg = ConformerCssConfig(
+        nnet_conf=NnetConfig(conformer_conf=large_conformer_config()))
+    model = CssModel(cfg)
+    variables = model.init(jax.random.PRNGKey(0))
+
+    css_cfg = CssCfg(seg_chunk=8, seg_bucket_multiple=16)
+    engine = CssEngine(model, variables, css_cfg)
+
+    fs = 16000
+    rng = np.random.RandomState(0)
+    mix = (rng.randn(1, int(audio_seconds * fs), 7) * 0.1).astype(np.float32)
+
+    # warmup (compile)
+    t0 = time.time()
+    engine.separate_and_stitch(mix, fs)
+    print(f"warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.time()
+        wavs, _ = engine.separate_and_stitch(mix, fs)
+        dt = time.time() - t0
+        best = max(best, audio_seconds / dt)
+        print(f"run: {dt:.2f}s -> {audio_seconds / dt:.1f}x RT",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "css_mc_rtfx",
+        "value": round(best, 2),
+        "unit": "audio_sec/sec/chip",
+        "vs_baseline": round(best / 50.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

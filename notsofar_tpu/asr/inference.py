@@ -44,6 +44,7 @@ class WhisperAsrCfg:
     beam_size: Optional[int] = 5
     hallucination_silence_threshold: Optional[float] = 2.0
     vocab_path: Optional[str] = None
+    max_new_tokens: int = 224  # decode-step budget per 30 s window
 
     def text_normalizer(self):
         return get_txt_norm("chime8")
@@ -116,7 +117,8 @@ def asr_inference(out_dir: str, session: pd.Series, cfg: WhisperAsrCfg,
         TranscribeOptions(
             language=cfg.language or "en",
             word_timestamps=cfg.word_level_time_stamps,
-            hallucination_silence_threshold=cfg.hallucination_silence_threshold))
+            hallucination_silence_threshold=cfg.hallucination_silence_threshold,
+            max_new_tokens=cfg.max_new_tokens))
 
     _LOG.info(f"Running ASR on {len(wav_files)} streams")
     segments_dfs = []

@@ -45,6 +45,7 @@ class TranscribeOptions:
     logprob_threshold: float = -1.0
     word_timestamps: bool = True
     hallucination_silence_threshold: Optional[float] = 2.0
+    max_new_tokens: int = 224
 
 
 class WhisperTranscriber:
@@ -55,8 +56,10 @@ class WhisperTranscriber:
         self.variables = variables
         self.tok = tokenizer
         self.opt = options
-        self.decoder = GreedyDecoder(model, tokenizer,
-                                     DecodeOptions(language=options.language))
+        self.decoder = GreedyDecoder(
+            model, tokenizer,
+            DecodeOptions(language=options.language,
+                          max_new_tokens=options.max_new_tokens))
 
     def transcribe(self, audio: np.ndarray, sr: int = SAMPLE_RATE) -> Dict:
         """audio: mono float waveform. Returns {'segments': [...], 'text'}

@@ -132,15 +132,29 @@ class CssEngine:
     # ---- the compiled core ----------------------------------------------
     @partial(jax.jit, static_argnames=("self", "num_seg", "seg_frames",
                                        "hop_frames", "dilation", "erosion"))
-    def _process_session(self, variables: Dict, stft_pad: jnp.ndarray,
-                         wg: jnp.ndarray,
+    def _process_session(self, variables: Dict, wav_pad: jnp.ndarray,
+                         wg: jnp.ndarray, valid_frames: jnp.ndarray,
                          num_seg: int, seg_frames: int, hop_frames: int,
                          dilation: int, erosion: int
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """stft_pad: [F, Tpad, C] complex with Tpad=(num_seg-1)*hop+T.
-        wg: [num_seg, T]. Returns (stft_gated [S,F,Tpad], mask_stitched
-        [F,Tpad,S], activity [Tpad,S])."""
+        """wav_pad: [C, N_pad] float with N_pad yielding exactly
+        Tpad=(num_seg-1)*hop+T STFT frames. One dispatch runs STFT ->
+        separation -> MVDR -> stitch -> gating -> iSTFT; only the separated
+        waveforms need to leave the device.
+        Returns (wavs [S, samples], mask_stitched [F,Tpad,S],
+        activity [Tpad,S])."""
         cfg = self.cfg
+        stft_pad = jnp.moveaxis(
+            self.model.extractor.stft.forward(wav_pad), 0, 2)  # [F,Tpad,C]
+        # zero frames beyond the real session extent — parity with the
+        # reference's zero-padded final segment (css/css.py:186-190); frames
+        # straddling the padded tail would otherwise leak audio energy.
+        # NB: jnp.where (not multiply) so the padding is exactly +0+0j —
+        # multiplying produces signed zeros whose atan2 phase is +-pi, which
+        # the raw-IPD features are sensitive to.
+        frame_valid = (jnp.arange(stft_pad.shape[1]) < valid_frames)
+        stft_pad = jnp.where(frame_valid[None, :, None], stft_pad,
+                             jnp.zeros((), stft_pad.dtype))
         F, Tpad, C = stft_pad.shape
         S = cfg.num_spks
         T = seg_frames
@@ -214,10 +228,13 @@ class CssEngine:
         act = erode_jax(act, erosion, axis=0)
         gated = stft_stitched * act[None].astype(stft_stitched.dtype)
 
-        return jnp.moveaxis(gated, 2, 0), mask_stitched, act
+        wavs = self.model.extractor.istft_op.inverse(
+            jnp.moveaxis(gated, 2, 0))  # [S, samples]
+        return wavs, mask_stitched, act
 
     # ---- host wrapper -----------------------------------------------------
-    def separate_and_stitch(self, speech_mix: np.ndarray, fs: int
+    def separate_and_stitch(self, speech_mix: np.ndarray, fs: int,
+                            return_side_info: bool = True
                             ) -> Tuple[List[np.ndarray], Dict]:
         """speech_mix: [Batch=1, Nsamples, Channels] float. Returns
         (list of num_spks separated wavs, side_info). Parity contract with
@@ -235,21 +252,20 @@ class CssEngine:
             "the OLA fast path assumes segment == 2 hops (the NOTSOFAR "
             "3s/1.5s configuration); generalize _weighted_ola to change this")
 
-        is_mc = speech_mix.shape[2] > 1
-        x = jnp.asarray(speech_mix[0].T)                  # [C, N]
-        stft_mix = self.model.extractor.stft.forward(x)   # [C, F, Tlong]
-        stft_mix = jnp.moveaxis(stft_mix, 0, 2)           # [F, Tlong, C]
-        mix_frames = int(stft_mix.shape[1])
-        if mix_frames < T:
-            stft_mix = jnp.pad(stft_mix, ((0, 0), (0, T - mix_frames), (0, 0)))
-            mix_frames = T
+        from notsofar_tpu.ops.stft import num_frames
+        n_samples = speech_mix.shape[1]
+        mix_frames = max(num_frames(n_samples, self.frame_len, self.frame_hop),
+                         T)
 
         overlap = T - hop
         num_seg_real = int(np.ceil((mix_frames - overlap) / hop))
         bucket = cfg.seg_bucket_multiple
         num_seg = int(np.ceil(num_seg_real / bucket) * bucket)
         t_pad = (num_seg - 1) * hop + T
-        stft_pad = jnp.pad(stft_mix, ((0, 0), (0, t_pad - mix_frames), (0, 0)))
+        # pad the waveform so the on-device STFT yields exactly t_pad frames
+        n_pad = (t_pad - 1) * self.frame_hop + self.frame_len
+        wav_pad = np.zeros((speech_mix.shape[2], n_pad), np.float32)
+        wav_pad[:, :n_samples] = speech_mix[0].T[:, :n_pad]
 
         wg = build_weight_matrix(num_seg_real, num_seg, T, geo["m0"], geo["m1"])
         # sanity: full coverage of the real region (css/css.py:297)
@@ -259,20 +275,19 @@ class CssEngine:
         assert (cover[:mix_frames] > 1e-5).all(), \
             "zero OLA weights found. check hop_size, segment_size or m0, m1"
 
-        gated, mask_stitched, act = self._process_session(
-            self.variables, stft_pad, jnp.asarray(wg), num_seg, T, hop,
+        wavs, mask_stitched, act = self._process_session(
+            self.variables, jnp.asarray(wav_pad), jnp.asarray(wg),
+            jnp.asarray(mix_frames, jnp.int32), num_seg, T, hop,
             geo["dilation"], geo["erosion"])
 
-        # iSTFT on device, trim to the real session extent
-        wavs = self.model.extractor.istft_op.inverse(gated[:, :, :])  # [S, samples]
         n_real = (mix_frames - 1) * self.frame_hop + self.frame_len
         wavs = np.asarray(wavs)[:, :n_real]
-        side_info = {
-            "mask_stitched": np.asarray(mask_stitched)[:, :mix_frames],
-            "activity_final": np.asarray(act)[:mix_frames],
-            "segment_frames": T,
-            "num_segments": num_seg_real,
-        }
+        side_info = {"segment_frames": T, "num_segments": num_seg_real}
+        if return_side_info:
+            # device->host of ~50 MB per 6-min session; skipped on the
+            # serving path (css/inference.py passes False)
+            side_info["mask_stitched"] = np.asarray(mask_stitched)[:, :mix_frames]
+            side_info["activity_final"] = np.asarray(act)[:mix_frames]
         return [wavs[i] for i in range(cfg.num_spks)], side_info
 
 

@@ -40,6 +40,11 @@ def diarization_inference(out_dir: str, segments_df: pd.DataFrame,
         _LOG.info(f"Diarization by wav file names: {list(uniques)}")
         return out
 
+    if len(segments_df) == 0:
+        out = segments_df.copy()
+        out["speaker_id"] = pd.Series(dtype=object)
+        return out
+
     session_name = segments_df.session_id.iloc[0]
     is_ct = str(session_name).startswith("close_talk")
     assert segments_df.wav_file_name.nunique() <= 3 or is_ct, \
