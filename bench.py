@@ -21,6 +21,8 @@ import numpy as np
 
 
 def main(audio_seconds: float = 120.0, repeats: int = 3):
+    from notsofar_tpu.utils.jax_setup import setup_jax
+    setup_jax()
     import jax
     from notsofar_tpu.css.engine import CssCfg, CssEngine
     from notsofar_tpu.models.css_wrapper import (ConformerCssConfig, CssModel,

@@ -31,7 +31,8 @@ import numpy as np
 
 from notsofar_tpu.models.css_wrapper import CssModel
 from notsofar_tpu.ops.mvdr import mvdr_beamform
-from notsofar_tpu.ops.pit import pit_loss, permute_sources
+from notsofar_tpu.ops.pit import (BASE_LOSSES, pairwise_loss_matrix,
+                                  permute_sources, pit_loss)
 from notsofar_tpu.utils.morphology import dilate_jax, erode_jax
 from notsofar_tpu.utils.logging_def import get_logger
 
@@ -141,7 +142,7 @@ class CssEngine:
         Tpad=(num_seg-1)*hop+T STFT frames. One dispatch runs STFT ->
         separation -> MVDR -> stitch -> gating -> iSTFT; only the separated
         waveforms need to leave the device.
-        Returns (wavs [S, samples], mask_stitched [F,Tpad,S],
+        Returns (wav_i16 [S, samples], scales [S], mask_stitched [F,Tpad,S],
         activity [Tpad,S])."""
         cfg = self.cfg
         stft_pad = jnp.moveaxis(
@@ -190,8 +191,12 @@ class CssEngine:
         separated = separated.reshape(num_seg, F, T, S)
         spk_masks = spk_masks.reshape(num_seg, F, T, S)
 
-        # 3. PIT stitching scan (css/css.py:263-295): align each segment to
-        # the previously-aligned one on the overlap region.
+        # 3. PIT stitching (css/css.py:263-295): align each segment to the
+        # previously-aligned one on the overlap region. Decomposed for TPU:
+        # permuting the left operand only permutes ROWS of the pairwise loss
+        # matrix, so all adjacent-pair loss matrices are computed in ONE
+        # batched pass, and the sequential chain runs over tiny [S, S]
+        # matrices (a ~µs-per-step scan instead of per-step full-tensor PIT).
         overlap = T - hop_frames
         if cfg.stitching_input == "mask":
             stitch_in = spk_masks
@@ -200,17 +205,28 @@ class CssEngine:
         else:
             raise ValueError(f"unexpected stitching_input: {cfg.stitching_input}")
 
-        def stitch_step(prev_aligned, cur):
-            left = prev_aligned[:, -overlap:, :][None]
-            right = cur[:, :overlap, :][None]
-            _, perm = pit_loss(left, right, base=cfg.stitching_loss)
-            cur_aligned = permute_sources(cur[None], perm)[0]
-            return cur_aligned, perm[0]
+        base_loss = BASE_LOSSES[cfg.stitching_loss]
+        lm_all = pairwise_loss_matrix(
+            stitch_in[:-1, :, -overlap:, :],   # left = segment i
+            stitch_in[1:, :, :overlap, :],     # right = segment i+1
+            base_loss)                          # [num_seg-1, S, S]
+        all_perms = jnp.asarray(
+            np.array(list(__import__("itertools").permutations(range(S))),
+                     dtype=np.int32))           # [P, S]
 
-        first = stitch_in[0]
-        _, perms_rest = jax.lax.scan(stitch_step, first, stitch_in[1:])
-        perms = jnp.concatenate(
-            [jnp.arange(S, dtype=perms_rest.dtype)[None], perms_rest], axis=0)
+        def chain_step(p_prev, lm):
+            lm_eff = lm[p_prev, :]                       # rows permuted
+            # totals[k] = sum_a lm_eff[a, all_perms[k, a]]
+            gathered = jnp.take_along_axis(
+                lm_eff[None].repeat(all_perms.shape[0], 0),
+                all_perms[:, :, None], axis=2)[..., 0]
+            totals = gathered.sum(axis=1)
+            r = all_perms[jnp.argmin(totals)]
+            return r, r
+
+        p0 = jnp.arange(S, dtype=jnp.int32)
+        _, perms_rest = jax.lax.scan(chain_step, p0, lm_all)
+        perms = jnp.concatenate([p0[None], perms_rest], axis=0)
         separated = permute_sources(separated, perms)
         spk_masks = permute_sources(spk_masks, perms)
 
@@ -230,7 +246,13 @@ class CssEngine:
 
         wavs = self.model.extractor.istft_op.inverse(
             jnp.moveaxis(gated, 2, 0))  # [S, samples]
-        return wavs, mask_stitched, act
+        # quantize on device: the separated streams are written as wavs and
+        # consumed by 16 kHz ASR — int16 is transparent (the microphones are
+        # int16 sources) and cuts the device->host transfer 4x.
+        peak = jnp.max(jnp.abs(wavs), axis=1, keepdims=True)
+        scale = 32767.0 / jnp.maximum(peak, 1e-7)
+        wav_i16 = jnp.round(wavs * scale).astype(jnp.int16)
+        return wav_i16, scale[:, 0], mask_stitched, act
 
     # ---- host wrapper -----------------------------------------------------
     def separate_and_stitch(self, speech_mix: np.ndarray, fs: int,
@@ -275,13 +297,14 @@ class CssEngine:
         assert (cover[:mix_frames] > 1e-5).all(), \
             "zero OLA weights found. check hop_size, segment_size or m0, m1"
 
-        wavs, mask_stitched, act = self._process_session(
+        wav_i16, scales, mask_stitched, act = self._process_session(
             self.variables, jnp.asarray(wav_pad), jnp.asarray(wg),
             jnp.asarray(mix_frames, jnp.int32), num_seg, T, hop,
             geo["dilation"], geo["erosion"])
 
         n_real = (mix_frames - 1) * self.frame_hop + self.frame_len
-        wavs = np.asarray(wavs)[:, :n_real]
+        wavs = (np.asarray(wav_i16)[:, :n_real].astype(np.float32)
+                / np.asarray(scales)[:, None])
         side_info = {"segment_frames": T, "num_segments": num_seg_real}
         if return_side_info:
             # device->host of ~50 MB per 6-min session; skipped on the

@@ -14,6 +14,8 @@ import argparse
 from pathlib import Path
 from pprint import pprint
 
+from notsofar_tpu.utils.jax_setup import setup_jax
+setup_jax()
 from notsofar_tpu.inference_pipeline.inference import (FetchFromCacheCfg,
                                                        InferenceCfg,
                                                        inference_pipeline)

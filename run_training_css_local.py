@@ -9,6 +9,8 @@ import os
 import shutil
 from pathlib import Path
 
+from notsofar_tpu.utils.jax_setup import setup_jax
+setup_jax()
 from notsofar_tpu.parallel.mesh import maybe_initialize_distributed
 from notsofar_tpu.training.config import TrainCfg
 from notsofar_tpu.training.train import run_training_css
