@@ -145,8 +145,11 @@ class CssEngine:
         Returns (wav_i16 [S, samples], scales [S], mask_stitched [F,Tpad,S],
         activity [Tpad,S])."""
         cfg = self.cfg
+        # input arrives int16 (4x smaller host->device transfer; lossless
+        # for int16-origin microphone audio) and is rescaled on device
+        wav_f = wav_pad.astype(jnp.float32) * (1.0 / 32768.0)
         stft_pad = jnp.moveaxis(
-            self.model.extractor.stft.forward(wav_pad), 0, 2)  # [F,Tpad,C]
+            self.model.extractor.stft.forward(wav_f), 0, 2)  # [F,Tpad,C]
         # zero frames beyond the real session extent — parity with the
         # reference's zero-padded final segment (css/css.py:186-190); frames
         # straddling the padded tail would otherwise leak audio energy.
@@ -284,10 +287,17 @@ class CssEngine:
         bucket = cfg.seg_bucket_multiple
         num_seg = int(np.ceil(num_seg_real / bucket) * bucket)
         t_pad = (num_seg - 1) * hop + T
-        # pad the waveform so the on-device STFT yields exactly t_pad frames
+        # pad the waveform so the on-device STFT yields exactly t_pad frames;
+        # quantize to int16 for the transfer (audio sources are int16; for
+        # out-of-range float input, pre-scale to peak 1.0 first)
         n_pad = (t_pad - 1) * self.frame_hop + self.frame_len
-        wav_pad = np.zeros((speech_mix.shape[2], n_pad), np.float32)
-        wav_pad[:, :n_samples] = speech_mix[0].T[:, :n_pad]
+        mix = speech_mix[0].T[:, :n_pad]
+        peak = float(np.abs(mix).max()) if mix.size else 0.0
+        if peak > 1.0:
+            mix = mix / peak
+        wav_pad = np.zeros((speech_mix.shape[2], n_pad), np.int16)
+        wav_pad[:, :min(n_samples, n_pad)] = np.clip(
+            np.round(mix * 32768.0), -32768, 32767).astype(np.int16)
 
         wg = build_weight_matrix(num_seg_real, num_seg, T, geo["m0"], geo["m1"])
         # sanity: full coverage of the real region (css/css.py:297)

@@ -77,6 +77,41 @@ def replicate_tree(mesh: Mesh, tree):
     return jax.device_put(tree, sharding)
 
 
+def barrier(name: str = "sync"):
+    """Cross-process barrier (multi-host); no-op single-process.
+
+    Replaces torch.distributed.barrier (utils/torch_utils.py:33-36).
+    """
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices(name)
+
+
+def all_reduce_max_host(value: int) -> int:
+    """Max of a host-side integer across processes (the reference's
+    all_reduce-MAX word-count equalizer, utils/torch_utils.py:116-123)."""
+    if jax.process_count() == 1:
+        return value
+    from jax.experimental import multihost_utils
+    import jax.numpy as jnp
+    arr = multihost_utils.process_allgather(np.asarray(value))
+    return int(np.max(arr))
+
+
+def gather_dicts_to_zero(d: dict) -> Optional[list]:
+    """Gather per-process python dicts of floats to process 0 (the
+    reduce_dict_to_rank0 equivalent, utils/torch_utils.py:159-185)."""
+    if jax.process_count() == 1:
+        return [d]
+    from jax.experimental import multihost_utils
+    keys = sorted(d)
+    arr = np.asarray([float(d[k]) for k in keys])
+    gathered = multihost_utils.process_allgather(arr)
+    if jax.process_index() != 0:
+        return None
+    return [dict(zip(keys, row)) for row in np.atleast_2d(gathered)]
+
+
 def shard_sessions(num_sessions: int, process_index: Optional[int] = None,
                    process_count: Optional[int] = None) -> List[int]:
     """Strided round-robin session assignment for this process.

@@ -34,6 +34,39 @@ ALL_COLUMNS = ["mixture", "gt_spk_activity_scores",
 SCALED_COLUMNS = ["mixture", "gt_spk_direct_early_echoes", "gt_spk_reverb",
                   "gt_noise"]
 
+# optional native reader (open+seek+read+descale in one GIL-free call)
+_SEGREAD = None
+_SEGREAD_TRIED = False
+
+
+def _load_segread():
+    global _SEGREAD, _SEGREAD_TRIED
+    if _SEGREAD_TRIED:
+        return _SEGREAD
+    _SEGREAD_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    so = os.path.join(native_dir, "libsegread.so")
+    if not os.path.exists(so):
+        try:
+            subprocess.run(["make", "-C", native_dir], check=True,
+                           capture_output=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+        lib.read_scaled_segment_i16.restype = ctypes.c_int
+        lib.read_scaled_segment_i16.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_float)]
+        _SEGREAD = lib
+    except OSError:
+        _SEGREAD = None
+    return _SEGREAD
+
 
 class SegmentSplitter:
     """Random segment cover of an utterance (simulated_dataset.py:275-398)."""
@@ -172,18 +205,34 @@ class SimulatedDataset:
         columns = meta["columns"]
         assert meta["index_value"] == uid
         d = {"utterance_id": uid, "t0": offset, "seg_len": seg_len}
+        lib = None if isinstance(source, tarfile.TarFile) else _load_segread()
         for column in self.needed_columns:
             spec = columns[column]
             if "values" in spec:
                 d[column] = float(spec["values"])
-            else:
-                raw = seek_read(f"{uid}.{column}", offset=offset,
-                                row_size=spec["row_size"], seg_len=seg_len)
-                arr = np.frombuffer(raw, dtype=spec["dtype"]).copy()
-                shape = list(spec["shape"])
-                if seg_len is not None:
-                    shape[0] = seg_len
-                d[column] = arr.reshape(shape)
+                continue
+            shape = list(spec["shape"])
+            if seg_len is not None:
+                shape[0] = seg_len
+            scale_key = f"{column}_scale"
+            if (lib is not None and spec["dtype"] == "int16"
+                    and scale_key in columns):
+                # native path: one GIL-free open/seek/read/descale call
+                import ctypes
+                out = np.empty(shape, np.float32)
+                rc = lib.read_scaled_segment_i16(
+                    str(source / f"{uid}.{column}").encode(),
+                    int(offset or 0), int(shape[0]),
+                    int(spec["element_in_row"]),
+                    float(columns[scale_key]["values"]),
+                    out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+                if rc == 0:
+                    d[column] = out  # pre-scaled float32
+                    continue
+            raw = seek_read(f"{uid}.{column}", offset=offset,
+                            row_size=spec["row_size"], seg_len=seg_len)
+            arr = np.frombuffer(raw, dtype=spec["dtype"]).copy()
+            d[column] = arr.reshape(shape)
         return d
 
     def __getitem__(self, idx: int) -> Dict:
@@ -199,12 +248,15 @@ class SimulatedDataset:
             seg = self._read_segment(utt["id"], Path(url).parent,
                                      segments[utt["index"]], seg_len)
 
-        # int16 -> float32 via the per-column scale factors
+        # int16 -> float32 via the per-column scale factors (columns already
+        # descaled by the native reader arrive as float32 and are skipped)
         scale_cols = [c for c in seg if c.endswith("_scale")]
         for sc in scale_cols:
             col = sc[:-len("_scale")]
-            assert seg[col].dtype == np.int16
-            seg[col] = seg[col].astype(np.float32) / seg[sc]
+            if seg[col].dtype == np.int16:
+                seg[col] = seg[col].astype(np.float32) / seg[sc]
+            else:
+                assert seg[col].dtype == np.float32
         for sc in scale_cols:
             del seg[sc]
 
