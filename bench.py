@@ -46,13 +46,14 @@ def main(audio_seconds: float = 120.0, repeats: int = 3):
 
     # warmup (compile)
     t0 = time.time()
-    engine.separate_and_stitch(mix, fs)
+    engine.separate_and_stitch(mix, fs, return_side_info=False)
     print(f"warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
     best = 0.0
     for _ in range(repeats):
         t0 = time.time()
-        wavs, _ = engine.separate_and_stitch(mix, fs)
+        wavs, _ = engine.separate_and_stitch(mix, fs,
+                                             return_side_info=False)
         dt = time.time() - t0
         best = max(best, audio_seconds / dt)
         print(f"run: {dt:.2f}s -> {audio_seconds / dt:.1f}x RT",

@@ -132,11 +132,13 @@ class CssEngine:
 
     # ---- the compiled core ----------------------------------------------
     @partial(jax.jit, static_argnames=("self", "num_seg", "seg_frames",
-                                       "hop_frames", "dilation", "erosion"))
+                                       "hop_frames", "dilation", "erosion",
+                                       "want_side_info"))
     def _process_session(self, variables: Dict, wav_pad: jnp.ndarray,
                          wg: jnp.ndarray, valid_frames: jnp.ndarray,
                          num_seg: int, seg_frames: int, hop_frames: int,
-                         dilation: int, erosion: int
+                         dilation: int, erosion: int,
+                         want_side_info: bool = True
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """wav_pad: [C, N_pad] float with N_pad yielding exactly
         Tpad=(num_seg-1)*hop+T STFT frames. One dispatch runs STFT ->
@@ -255,6 +257,9 @@ class CssEngine:
         peak = jnp.max(jnp.abs(wavs), axis=1, keepdims=True)
         scale = 32767.0 / jnp.maximum(peak, 1e-7)
         wav_i16 = jnp.round(wavs * scale).astype(jnp.int16)
+        if not want_side_info:
+            # let XLA drop the stitched-mask output buffer entirely
+            mask_stitched = jnp.zeros((0,), jnp.float32)
         return wav_i16, scale[:, 0], mask_stitched, act
 
     # ---- host wrapper -----------------------------------------------------
@@ -293,11 +298,13 @@ class CssEngine:
         n_pad = (t_pad - 1) * self.frame_hop + self.frame_len
         mix = speech_mix[0].T[:, :n_pad]
         peak = float(np.abs(mix).max()) if mix.size else 0.0
-        if peak > 1.0:
-            mix = mix / peak
+        scaled = mix * (32768.0 / peak if peak > 1.0 else 32768.0)
+        # np.rint (SIMD) — np.round takes a slow path costing seconds on
+        # multi-minute sessions
+        q = np.rint(scaled, out=scaled)
+        np.clip(q, -32768, 32767, out=q)
         wav_pad = np.zeros((speech_mix.shape[2], n_pad), np.int16)
-        wav_pad[:, :min(n_samples, n_pad)] = np.clip(
-            np.round(mix * 32768.0), -32768, 32767).astype(np.int16)
+        wav_pad[:, :min(n_samples, n_pad)] = q.astype(np.int16)
 
         wg = build_weight_matrix(num_seg_real, num_seg, T, geo["m0"], geo["m1"])
         # sanity: full coverage of the real region (css/css.py:297)
@@ -310,7 +317,8 @@ class CssEngine:
         wav_i16, scales, mask_stitched, act = self._process_session(
             self.variables, jnp.asarray(wav_pad), jnp.asarray(wg),
             jnp.asarray(mix_frames, jnp.int32), num_seg, T, hop,
-            geo["dilation"], geo["erosion"])
+            geo["dilation"], geo["erosion"],
+            want_side_info=return_side_info)
 
         n_real = (mix_frames - 1) * self.frame_hop + self.frame_len
         wavs = (np.asarray(wav_i16)[:, :n_real].astype(np.float32)
