@@ -120,13 +120,19 @@ def asr_inference(out_dir: str, session: pd.Series, cfg: WhisperAsrCfg,
             hallucination_silence_threshold=cfg.hallucination_silence_threshold,
             max_new_tokens=cfg.max_new_tokens))
 
-    _LOG.info(f"Running ASR on {len(wav_files)} streams")
-    segments_dfs = []
+    _LOG.info(f"Running ASR on {len(wav_files)} streams (batched)")
+    wavs = []
     for wav_file in wav_files:
         wav, sr = read_wav_scaled(str(wav_file))
         if wav.ndim > 1:
             wav = wav[:, 0]
-        results = transcriber.transcribe(wav, sr)
+        wavs.append(wav)
+    if hasattr(transcriber, "transcribe_batch"):
+        results_per_stream = transcriber.transcribe_batch(wavs)
+    else:  # test stubs provide only transcribe()
+        results_per_stream = [transcriber.transcribe(w) for w in wavs]
+    segments_dfs = []
+    for wav_file, results in zip(wav_files, results_per_stream):
         if len(results["segments"]) == 0:
             _LOG.warning(f"No segments returned for {wav_file}")
             continue

