@@ -32,12 +32,14 @@ def main(audio_seconds: float = 120.0, repeats: int = 3):
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
+    import jax.numpy as jnp
     cfg = ConformerCssConfig(
         nnet_conf=NnetConfig(conformer_conf=large_conformer_config()))
-    model = CssModel(cfg)
-    variables = model.init(jax.random.PRNGKey(0))
-
     css_cfg = CssCfg(seg_chunk=8, seg_bucket_multiple=16)
+    dtype = {"float32": jnp.float32,
+             "bfloat16": jnp.bfloat16}[css_cfg.compute_dtype]
+    model = CssModel(cfg, dtype=dtype)
+    variables = model.init(jax.random.PRNGKey(0))
     engine = CssEngine(model, variables, css_cfg)
 
     fs = 16000

@@ -67,6 +67,8 @@ class CssCfg:
     # TPU-specific knobs (new):
     seg_chunk: int = 8          # windows per Conformer dispatch
     seg_bucket_multiple: int = 16  # num_segments padded to a multiple of this
+    compute_dtype: str = "bfloat16"  # Conformer matmul dtype for serving
+    #   ("float32" for strict parity runs; params stay float32 either way)
 
 
 def calc_segment_weight(seg_frames: int, m0: int, m1: int,

@@ -45,14 +45,17 @@ def save_css_model(model_dir, variables, train_cfg: TrainCfg):
         serialization.to_bytes(jax.device_get(variables)))
 
 
-def load_css_model(model_dir) -> Tuple[CssModel, Dict, TrainCfg]:
+def load_css_model(model_dir, compute_dtype: str = "float32"
+                   ) -> Tuple[CssModel, Dict, TrainCfg]:
     """Load a CSS model from either checkpoint format."""
+    import jax.numpy as jnp
     model_dir = Path(model_dir)
     yamls = sorted(model_dir.glob("*.yaml"))
     if not yamls:
         raise FileNotFoundError(f"expecting a yaml config in {model_dir}")
     train_cfg = load_yaml_to_dataclass(str(yamls[0]), TrainCfg)
-    model = CssModel(train_cfg.conformer_css_cfg.freeze())
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+    model = CssModel(train_cfg.conformer_css_cfg.freeze(), dtype=dtype)
 
     msgpack = model_dir / "params.msgpack"
     pts = sorted(model_dir.glob("*.pt"))
@@ -73,9 +76,11 @@ def load_css_model(model_dir) -> Tuple[CssModel, Dict, TrainCfg]:
 
 
 def get_css_engine(models_dir, checkpoint_rel: str, cfg: CssCfg) -> CssEngine:
-    key = str(Path(models_dir) / checkpoint_rel)
+    key = f"{Path(models_dir) / checkpoint_rel}|{cfg.compute_dtype}"
     if key not in _ENGINE_CACHE:
-        model, variables, _ = load_css_model(key)
+        model, variables, _ = load_css_model(
+            str(Path(models_dir) / checkpoint_rel),
+            compute_dtype=cfg.compute_dtype)
         _ENGINE_CACHE[key] = CssEngine(model, variables, cfg)
     return _ENGINE_CACHE[key]
 
