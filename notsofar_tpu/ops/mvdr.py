@@ -89,9 +89,9 @@ def solve_complex(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.complex(X2[..., :M, :], X2[..., M:, :])
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("use_pallas",))
 def mvdr_beamform(spk_masks: jnp.ndarray, noise_masks: jnp.ndarray,
-                  stft_c: jnp.ndarray) -> jnp.ndarray:
+                  stft_c: jnp.ndarray, use_pallas: bool = False) -> jnp.ndarray:
     """Batched MVDR responses.
 
     Args:
@@ -103,7 +103,11 @@ def mvdr_beamform(spk_masks: jnp.ndarray, noise_masks: jnp.ndarray,
     """
     S = spk_masks.shape[-1]
     wta = make_wta(spk_masks, noise_masks)      # [B,F,T,S+1]
-    scm = masked_scm(wta, stft_c)               # [B,S+1,F,M,M]
+    if use_pallas:
+        from notsofar_tpu.ops.pallas_kernels import masked_scm_pallas
+        scm = masked_scm_pallas(wta, stft_c)    # [B,S+1,F,M,M]
+    else:
+        scm = masked_scm(wta, stft_c)
     spk_scm = scm[:, :S]                        # [B,S,F,M,M]
     total = scm.sum(axis=1, keepdims=True)      # noise + all speakers
     noi_scm = total - spk_scm                   # [B,S,F,M,M]
