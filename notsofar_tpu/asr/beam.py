@@ -1,0 +1,165 @@
+"""Batched beam-search decoding for Whisper (beam_size=5 in the shipped
+config, asr/asr.py:21).
+
+One jitted lax.scan over decode steps; state is kept per (batch, beam):
+
+* KV caches [B*K, ctx, D] in bfloat16 (halves the reorder traffic — the
+  per-step beam reorder is the dominant memory cost of beam search),
+* cumulative logprobs, finished latches, per-beam timestamp-rule state,
+* the token buffer itself is carried and reordered with the same gather,
+  avoiding host-side genealogy backtracking.
+
+Semantics follow whisper's BeamSearchDecoder: finished hypotheses persist
+(eot self-loop contributing zero logprob), candidates are expanded over
+K*V and pruned to the top K per batch element, and the final hypothesis is
+chosen by length-normalized average logprob (MaximumLikelihoodRanker with
+length_penalty=None).
+"""
+from dataclasses import dataclass
+from functools import partial
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from notsofar_tpu.asr.decoding import NEG_INF, DecodeOptions, GreedyDecoder
+from notsofar_tpu.asr.tokenizer import WhisperTokenizer
+from notsofar_tpu.models.whisper import WhisperModel
+
+
+class BeamDecoder(GreedyDecoder):
+    """Shares the logit filters with GreedyDecoder; adds beam expansion."""
+
+    def __init__(self, model: WhisperModel, tokenizer: WhisperTokenizer,
+                 options: DecodeOptions = DecodeOptions(),
+                 beam_size: int = 5, cache_dtype=jnp.bfloat16):
+        super().__init__(model, tokenizer, options)
+        self.beam_size = beam_size
+        self.cache_dtype = cache_dtype
+
+    def _beam_caches(self, batch: int):
+        d = self.model.dims
+        return [(jnp.zeros((batch, d.n_text_ctx, d.n_text_state),
+                           self.cache_dtype),
+                 jnp.zeros((batch, d.n_text_ctx, d.n_text_state),
+                           self.cache_dtype))
+                for _ in range(d.n_text_layer)]
+
+    @partial(jax.jit, static_argnums=(0, 3))
+    def _beam_scan(self, variables, xa, prompt_len: int, prompt_tokens):
+        """xa: [B, 1500, D]; prompt_tokens: [B, P]. Returns
+        (tokens [B, K, max_new], sum_lp [B, K], length [B, K],
+        no_speech_prob [B])."""
+        model, tok = self.model, self.tok
+        K = self.beam_size
+        B = xa.shape[0]
+        BK = B * K
+        V = model.dims.n_vocab
+
+        # replicate memory + prompt across beams
+        xa_k = jnp.repeat(xa, K, axis=0)                       # [BK, 1500, D]
+        prompt_k = jnp.repeat(prompt_tokens, K, axis=0)        # [BK, P]
+        caches = self._beam_caches(BK)
+        logits, caches, _ = model.decoder.apply(
+            variables["decoder"], prompt_k, xa_k, 0, caches)
+        sot_pos = prompt_len - 1 - (2 if len(tok.sot_sequence) == 3 else 0)
+        nsp = jax.nn.softmax(logits[::K, sot_pos], axis=-1)[:, tok.no_speech]
+        cur_logits = logits[:, -1]                              # [BK, V]
+
+        max_new = self.opt.max_new_tokens
+        init = dict(
+            caches=caches,
+            cur_logits=cur_logits,
+            tokens=jnp.full((BK, max_new), self._eot, jnp.int32),
+            sum_lp=jnp.tile(jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF), B),
+            length=jnp.zeros(BK, jnp.int32),
+            finished=jnp.zeros(BK, bool),
+            prev_was_ts=jnp.zeros(BK, bool),
+            prev_prev_was_ts=jnp.zeros(BK, bool),
+            last_ts=jnp.full(BK, self._ts_begin, jnp.int32),
+            any_ts=jnp.zeros(BK, bool),
+        )
+
+        def step_fn(st, step):
+            lg = st["cur_logits"] + self._suppress
+            lg = jnp.where(step == 0, lg + self._suppress_blank, lg)
+            if not self.opt.without_timestamps:
+                lg = self._apply_timestamp_rules(
+                    lg, st["prev_was_ts"], st["prev_prev_was_ts"],
+                    st["last_ts"], st["any_ts"], step)
+            lp = jax.nn.log_softmax(lg, axis=-1)                # [BK, V]
+            # finished beams: only eot, contributing zero logprob
+            eot_only = jnp.full((V,), NEG_INF).at[self._eot].set(0.0)
+            lp = jnp.where(st["finished"][:, None], eot_only[None, :], lp)
+
+            cand = st["sum_lp"][:, None] + lp                    # [BK, V]
+            cand = cand.reshape(B, K * V)
+            top_lp, top_idx = jax.lax.top_k(cand, K)             # [B, K]
+            src_beam = top_idx // V                              # beam within B
+            next_tok = (top_idx % V).astype(jnp.int32)           # [B, K]
+            # flat gather indices into the BK axis
+            gather = (jnp.arange(B)[:, None] * K + src_beam).reshape(BK)
+            next_tok_flat = next_tok.reshape(BK)
+
+            def g(x):
+                return x[gather]
+
+            new_caches = [(g(ck), g(cv)) for ck, cv in st["caches"]]
+            tokens = g(st["tokens"]).at[:, step].set(next_tok_flat)
+            finished = g(st["finished"])
+            is_eot = (next_tok_flat == self._eot) | finished
+            length = g(st["length"]) + jnp.where(is_eot, 0, 1)
+            new_finished = finished | (next_tok_flat == self._eot)
+            is_ts = (next_tok_flat >= self._ts_begin) & ~new_finished
+            new_state = dict(
+                tokens=tokens,
+                sum_lp=top_lp.reshape(BK),
+                length=length,
+                finished=new_finished,
+                prev_was_ts=is_ts,
+                prev_prev_was_ts=g(st["prev_was_ts"]),
+                last_ts=jnp.where(is_ts, next_tok_flat, g(st["last_ts"])),
+                any_ts=g(st["any_ts"]) | is_ts,
+            )
+            new_logits, new_caches, _ = model.decoder.apply(
+                variables["decoder"], next_tok_flat[:, None], xa_k,
+                prompt_len + step, new_caches)
+            new_state["caches"] = new_caches
+            new_state["cur_logits"] = new_logits[:, 0]
+            return new_state, ()
+
+        final, _ = jax.lax.scan(step_fn, init, jnp.arange(max_new))
+        return (final["tokens"].reshape(B, K, max_new),
+                final["sum_lp"].reshape(B, K),
+                final["length"].reshape(B, K), nsp)
+
+    # ------------------------------------------------------------------
+    def decode(self, variables, xa: jnp.ndarray,
+               prompt: Optional[Sequence[int]] = None) -> Dict:
+        tok = self.tok
+        prefix = list(prompt) if prompt else []
+        if prefix:
+            prefix = [tok.specials.sot_prev] + \
+                prefix[-(self.model.dims.n_text_ctx // 2 - 1):]
+        initial = prefix + tok.sot_sequence
+        B = xa.shape[0]
+        prompt_tokens = jnp.asarray(
+            np.tile(np.asarray(initial, np.int32), (B, 1)))
+        tokens, sum_lp, length, nsp = self._beam_scan(
+            variables, xa, len(initial), prompt_tokens)
+        tokens = np.asarray(tokens)
+        sum_lp = np.asarray(sum_lp)
+        length = np.asarray(length)
+        # length-normalized ranking (whisper's MaximumLikelihoodRanker)
+        avg = sum_lp / np.maximum(length + 1, 1)
+        best = avg.argmax(axis=1)
+        out_tokens: List[List[int]] = []
+        for b in range(B):
+            t = tokens[b, best[b]]
+            end = int(np.argmax(t == self._eot)) if (t == self._eot).any() \
+                else len(t)
+            out_tokens.append(t[:end].tolist())
+        return dict(tokens=out_tokens,
+                    avg_logprob=avg[np.arange(B), best],
+                    no_speech_prob=np.asarray(nsp))

@@ -118,7 +118,8 @@ def asr_inference(out_dir: str, session: pd.Series, cfg: WhisperAsrCfg,
             language=cfg.language or "en",
             word_timestamps=cfg.word_level_time_stamps,
             hallucination_silence_threshold=cfg.hallucination_silence_threshold,
-            max_new_tokens=cfg.max_new_tokens))
+            max_new_tokens=cfg.max_new_tokens,
+            beam_size=cfg.beam_size))
 
     _LOG.info(f"Running ASR on {len(wav_files)} streams (batched)")
     wavs = []

@@ -46,6 +46,7 @@ class TranscribeOptions:
     word_timestamps: bool = True
     hallucination_silence_threshold: Optional[float] = 2.0
     max_new_tokens: int = 224
+    beam_size: Optional[int] = None  # None/1 = greedy; 5 in the shipped cfg
 
 
 class WhisperTranscriber:
@@ -56,10 +57,14 @@ class WhisperTranscriber:
         self.variables = variables
         self.tok = tokenizer
         self.opt = options
-        self.decoder = GreedyDecoder(
-            model, tokenizer,
-            DecodeOptions(language=options.language,
-                          max_new_tokens=options.max_new_tokens))
+        dec_opts = DecodeOptions(language=options.language,
+                                 max_new_tokens=options.max_new_tokens)
+        if options.beam_size and options.beam_size > 1:
+            from notsofar_tpu.asr.beam import BeamDecoder
+            self.decoder = BeamDecoder(model, tokenizer, dec_opts,
+                                       beam_size=options.beam_size)
+        else:
+            self.decoder = GreedyDecoder(model, tokenizer, dec_opts)
 
     def transcribe(self, audio: np.ndarray, sr: int = SAMPLE_RATE) -> Dict:
         """audio: mono float waveform. Returns {'segments': [...], 'text'}

@@ -91,9 +91,11 @@ class MHA(nn.Module):
         new_cache = None
         if kv_cache is not None:
             ck, cv = kv_cache
-            ck = jax.lax.dynamic_update_slice_in_dim(ck, k, cache_index, axis=1)
-            cv = jax.lax.dynamic_update_slice_in_dim(cv, v, cache_index, axis=1)
-            k, v = ck, cv
+            ck = jax.lax.dynamic_update_slice_in_dim(
+                ck, k.astype(ck.dtype), cache_index, axis=1)
+            cv = jax.lax.dynamic_update_slice_in_dim(
+                cv, v.astype(cv.dtype), cache_index, axis=1)
+            k, v = ck.astype(k.dtype), cv.astype(v.dtype)
             new_cache = (ck, cv)
 
         B, T, _ = q.shape
