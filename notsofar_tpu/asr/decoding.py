@@ -54,6 +54,7 @@ class DecodeOptions:
     max_initial_timestamp: float = 1.0
     suppress_blank: bool = True
     suppress_non_speech: bool = True
+    temperature: float = 0.0  # >0 -> gumbel sampling (fallback ladder)
 
 
 class GreedyDecoder:
@@ -138,10 +139,13 @@ class GreedyDecoder:
                            NEG_INF, logits)
         return logits
 
-    @partial(jax.jit, static_argnums=(0, 3))
-    def _decode_scan(self, variables, xa, prompt_len: int, prompt_tokens):
+    @partial(jax.jit, static_argnums=(0, 3, 6))
+    def _decode_scan(self, variables, xa, prompt_len: int, prompt_tokens,
+                     rng=None, temperature: float = 0.0):
         """xa: [B, 1500, D]; prompt_tokens: [B, prompt_len] int32.
 
+        temperature > 0 samples via the gumbel trick (whisper's fallback
+        path); temperature == 0 is greedy argmax.
         Returns (tokens [B, max_new], sum_logprob [B], length [B],
         no_speech_prob [B])."""
         model, tok = self.model, self.tok
@@ -165,7 +169,12 @@ class GreedyDecoder:
             if not self.opt.without_timestamps:
                 lg = self._apply_timestamp_rules(
                     lg, prev_was_ts, prev_prev_was_ts, last_ts, any_ts, step)
-            next_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+            if temperature > 0 and rng is not None:
+                g = jax.random.gumbel(jax.random.fold_in(rng, step), lg.shape)
+                next_tok = jnp.argmax(lg / temperature + g, axis=-1
+                                      ).astype(jnp.int32)
+            else:
+                next_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
             lp = jax.nn.log_softmax(cur_logits, axis=-1)
             tok_lp = jnp.take_along_axis(lp, next_tok[:, None], 1)[:, 0]
             next_tok = jnp.where(finished, self._eot, next_tok)
@@ -197,8 +206,10 @@ class GreedyDecoder:
 
     # ------------------------------------------------------------------
     def decode(self, variables, xa: jnp.ndarray,
-               prompt: Optional[Sequence[int]] = None) -> Dict:
-        """Greedy decode a batch of encoded windows.
+               prompt: Optional[Sequence[int]] = None,
+               temperature: float = 0.0,
+               rng=None) -> Dict:
+        """Greedy (or temperature-sampled) decode of a batch of windows.
 
         prompt: optional previous-context token ids (prepended with
         sot_prev per whisper's condition_on_previous_text).
@@ -212,8 +223,11 @@ class GreedyDecoder:
         B = xa.shape[0]
         prompt_tokens = jnp.asarray(
             np.tile(np.asarray(initial, np.int32), (B, 1)))
+        if temperature > 0 and rng is None:
+            rng = jax.random.PRNGKey(0)
         tokens, sum_lp, length, nsp = self._decode_scan(
-            variables, xa, len(initial), prompt_tokens)
+            variables, xa, len(initial), prompt_tokens, rng,
+            float(temperature))
         tokens = np.asarray(tokens)
         sum_lp = np.asarray(sum_lp)
         length = np.asarray(length)

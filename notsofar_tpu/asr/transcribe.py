@@ -10,11 +10,11 @@ hallucination_silence_threshold=2.0). This implementation:
 * word-level timestamps via teacher-forced cross-attention DTW,
 * a hallucination guard in the spirit of hallucination_silence_threshold:
   windows whose decoded segment repeats the previous text verbatim with
-  near-zero speech energy are skipped.
-
-Greedy decoding (beam search is a planned extension; greedy is whisper's
-fallback path and what the time-constrained metrics are least sensitive
-to).
+  near-zero speech energy are skipped,
+* beam search (TranscribeOptions.beam_size; the shipped config uses 5) via
+  asr/beam.py, with whisper's temperature-fallback ladder: retries with
+  gumbel sampling at 0.2..1.0 when the hypothesis compresses suspiciously
+  well (repetition) or scores below the logprob threshold.
 """
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -43,10 +43,21 @@ class TranscribeOptions:
     condition_on_previous_text: bool = True
     no_speech_threshold: float = 0.6
     logprob_threshold: float = -1.0
+    compression_ratio_threshold: Optional[float] = 2.4
+    temperatures: tuple = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0)
     word_timestamps: bool = True
     hallucination_silence_threshold: Optional[float] = 2.0
     max_new_tokens: int = 224
     beam_size: Optional[int] = None  # None/1 = greedy; 5 in the shipped cfg
+
+
+def compression_ratio(text: str) -> float:
+    """zlib compressibility of the text — whisper's repetition detector."""
+    import zlib
+    data = text.encode("utf-8")
+    if not data:
+        return 0.0
+    return len(data) / len(zlib.compress(data))
 
 
 class WhisperTranscriber:
@@ -63,8 +74,45 @@ class WhisperTranscriber:
             from notsofar_tpu.asr.beam import BeamDecoder
             self.decoder = BeamDecoder(model, tokenizer, dec_opts,
                                        beam_size=options.beam_size)
+            # the fallback ladder samples without a beam (whisper behavior)
+            self._sampler = GreedyDecoder(model, tokenizer, dec_opts)
         else:
             self.decoder = GreedyDecoder(model, tokenizer, dec_opts)
+            self._sampler = self.decoder
+        import jax
+        self._fallback_base_rng = jax.random.PRNGKey(42)
+
+    def _decode_with_fallback(self, xa, prompt, salt: int = 0):
+        """whisper's temperature ladder: retry at increasing temperatures
+        when the hypothesis compresses suspiciously well (repetition) or
+        scores a low average logprob (transcribe() fallback logic).
+
+        The sampling rng is a pure function of (salt, temperature index) so
+        batched and serial transcription stay bit-identical."""
+        import jax
+        result = None
+        for ti, t in enumerate(self.opt.temperatures):
+            if t == 0.0:
+                result = self.decoder.decode(self.variables, xa, prompt)
+            else:
+                sub = jax.random.fold_in(
+                    jax.random.fold_in(self._fallback_base_rng, salt), ti)
+                result = self._sampler.decode(self.variables, xa, prompt,
+                                              temperature=t, rng=sub)
+            needs_fallback = False
+            text = self.tok.decode(result["tokens"][0])
+            if self.opt.compression_ratio_threshold is not None and \
+                    compression_ratio(text) > self.opt.compression_ratio_threshold:
+                needs_fallback = True
+            if self.opt.logprob_threshold is not None and \
+                    float(result["avg_logprob"][0]) < self.opt.logprob_threshold:
+                needs_fallback = True
+            if self.opt.no_speech_threshold is not None and \
+                    float(result["no_speech_prob"][0]) > self.opt.no_speech_threshold:
+                needs_fallback = False  # silence — don't fight it
+            if not needs_fallback:
+                break
+        return result
 
     def transcribe(self, audio: np.ndarray, sr: int = SAMPLE_RATE) -> Dict:
         """audio: mono float waveform. Returns {'segments': [...], 'text'}
@@ -92,7 +140,7 @@ class WhisperTranscriber:
                                    jnp.asarray(window[None]))
             prompt = all_tokens[prompt_reset_since:] \
                 if self.opt.condition_on_previous_text else None
-            res = self.decoder.decode(self.variables, xa, prompt)
+            res = self._decode_with_fallback(xa, prompt, salt=seek)
             tokens = res["tokens"][0]
             avg_logprob = float(res["avg_logprob"][0])
             no_speech_prob = float(res["no_speech_prob"][0])
@@ -179,7 +227,7 @@ class WhisperTranscriber:
             for j, b in enumerate(active):
                 prompt = all_tokens[b][prompt_reset[b]:] \
                     if self.opt.condition_on_previous_text else None
-                res = self.decoder.decode(self.variables, xa[j:j + 1], prompt)
+                res = self._decode_with_fallback(xa[j:j + 1], prompt, salt=seeks[b])
                 tokens = res["tokens"][0]
                 avg_lp = float(res["avg_logprob"][0])
                 nsp = float(res["no_speech_prob"][0])
