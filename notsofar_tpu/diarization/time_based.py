@@ -162,10 +162,8 @@ def time_based_diarization(wav_files_sorted, segments_df: pd.DataFrame,
     sr = srs_wavs[0][0]
     wavs = [w if w.ndim == 1 else w[0] for _, w in srs_wavs]
     if encoder is None:
-        from notsofar_tpu.models.titanet import SpeakerEncoder
-        _LOG.warning("loading randomly-initialized speaker encoder — "
-                     "labels will be arbitrary")
-        encoder = SpeakerEncoder()
+        from notsofar_tpu.diarization.word_based import resolve_speaker_encoder
+        encoder = resolve_speaker_encoder(cfg)
     spk_vad = diarize_streams(wavs, sr, encoder)
     return assign_words_to_speakers(segments_df, spk_vad,
                                     cfg.apply_deduplication)

@@ -33,6 +33,38 @@ from notsofar_tpu.utils.logging_def import get_logger
 
 _LOG = get_logger("word_based_diarization")
 
+_ENCODER_CACHE = {}
+
+
+def resolve_speaker_encoder(cfg: DiarizationCfg):
+    """Load the speaker embedding model: a NeMo checkpoint named by
+    cfg.embedding_model_name under NOTSOFAR_MODELS_DIR (or an absolute
+    path), else a randomly-initialized encoder (pipeline-smoke mode,
+    clearly logged)."""
+    import os
+    from notsofar_tpu.models.titanet import SpeakerEncoder
+    name = cfg.embedding_model_name
+    key = name
+    if key in _ENCODER_CACHE:
+        return _ENCODER_CACHE[key]
+    candidates = []
+    if os.path.isabs(name):
+        candidates.append(name)
+    root = os.environ.get("NOTSOFAR_MODELS_DIR")
+    if root:
+        candidates += [os.path.join(root, f"{name}.nemo"),
+                       os.path.join(root, name)]
+    for cand in candidates:
+        if os.path.exists(cand):
+            _LOG.info(f"loading speaker encoder from {cand}")
+            enc = SpeakerEncoder.from_checkpoint(cand)
+            _ENCODER_CACHE[key] = enc
+            return enc
+    _LOG.warning(f"speaker model '{name}' not found (set NOTSOFAR_MODELS_DIR"
+                 ") — using RANDOM weights; labels will be arbitrary")
+    _ENCODER_CACHE[key] = SpeakerEncoder()
+    return _ENCODER_CACHE[key]
+
 
 def collect_word_windows(segments_df: pd.DataFrame, wav_duration: float,
                          min_embedding_windows: List[float],
@@ -133,10 +165,7 @@ def word_based_clustering(audio_files: list, segments_df: pd.DataFrame,
     wavs = np.stack([np.pad(w, (0, max_len - w.size)) for w in wav_list])
 
     if encoder is None:
-        from notsofar_tpu.models.titanet import SpeakerEncoder
-        _LOG.warning("loading randomly-initialized speaker encoder (no "
-                     "checkpoint plumbed) — labels will be arbitrary")
-        encoder = SpeakerEncoder()
+        encoder = resolve_speaker_encoder(cfg)
 
     wav_duration = wavs.shape[1] / sr
     words, windows = collect_word_windows(

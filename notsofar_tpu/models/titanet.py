@@ -194,6 +194,24 @@ class TitaNet(nn.Module):
 class SpeakerEncoder:
     """Bundle of (module, variables) with a batched embedding entry point."""
 
+    @staticmethod
+    def from_checkpoint(path, cfg: TitaNetConfig = TitaNetConfig()):
+        """Load from a NeMo .nemo archive or a torch state-dict file."""
+        from notsofar_tpu.models.titanet_convert import (convert_nemo_titanet,
+                                                         load_nemo_archive)
+        import numpy as _np
+        if str(path).endswith(".nemo"):
+            sd, _ = load_nemo_archive(path)
+        else:
+            import torch
+            raw = torch.load(path, map_location="cpu", weights_only=False)
+            raw = raw.get("state_dict", raw)
+            sd = {k: v.detach().cpu().numpy() for k, v in raw.items()}
+        variables = convert_nemo_titanet(sd, cfg)
+        import jax.numpy as _jnp
+        variables = jax.tree_util.tree_map(_jnp.asarray, variables)
+        return SpeakerEncoder(cfg, variables=variables)
+
     def __init__(self, cfg: TitaNetConfig = TitaNetConfig(), variables=None,
                  rng=None):
         self.cfg = cfg
