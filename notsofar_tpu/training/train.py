@@ -88,7 +88,7 @@ def make_train_step(model: CssModel, tx, cfg: TrainCfg):
                               cfg.clip_gt_to_mixture, cfg.calc_side_info)
         return loss, (new_vars["batch_stats"], side)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):
         if is_mc:
             aug_rng, drop_rng = jax.random.split(rng)

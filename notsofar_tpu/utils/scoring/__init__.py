@@ -78,8 +78,16 @@ def calc_wer(out_dir,
     res_rows = []
     for sess in sess_ids:
         r = ref_by_sess.get(sess, SegLst([]))
-        tcp = tcp_wer(r, tcp_hyp.groupby("session_id").get(sess, SegLst([])),
-                      collar=collar)
+        hyp_sess = tcp_hyp.groupby("session_id").get(sess, SegLst([]))
+        tcp = tcp_wer(r, hyp_sess, collar=collar)
+        if save_visualizations:
+            from notsofar_tpu.utils.scoring.visualization import \
+                render_alignment_html
+            viz = render_alignment_html(
+                r, hyp_sess, Path(out_dir) / "viz.html",
+                assignment=tcp.get("assignment"),
+                title=f"tcpWER alignment — {sess}")
+            _LOG.info(f"Wrote alignment visualization: {viz}")
         tcorc = tcorc_wer(r, tcorc_hyp.groupby("session_id").get(sess, SegLst([])),
                           collar=collar)
         row = dict(session_id=sess)

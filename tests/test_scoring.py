@@ -167,3 +167,18 @@ def test_calc_wer_normalization_applied(tmp_path):
                 words="It costs twenty dollars, OK!", speaker="spk0")]
     df = calc_wer(tmp_path, hyp, hyp, gt, tn="chime8", collar=5)
     assert df.tcp_wer.iloc[0] == 0.0
+
+
+def test_calc_wer_visualization(tmp_path):
+    gt = pd.DataFrame([
+        dict(meeting_id="MTG_0003", start_time=0.0, end_time=2.0,
+             text="hello world", speaker_id="A")])
+    hyp = [dict(session_id="multichannel/MTG_0003_dev",
+                start_time=0.0, end_time=2.0, words="hello world",
+                speaker="spk0")]
+    calc_wer(tmp_path, hyp, hyp, gt, tn="chime8", collar=5,
+             save_visualizations=True)
+    viz = tmp_path / "viz.html"
+    assert viz.exists()
+    txt = viz.read_text()
+    assert "<svg" in txt and "tcpWER alignment" in txt
