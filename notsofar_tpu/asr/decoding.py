@@ -161,9 +161,10 @@ class GreedyDecoder:
         no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, tok.no_speech]
         last_logits = logits[:, -1]
 
-        def step_fn(carry, step):
-            (caches, cur_logits, prev_was_ts, prev_prev_was_ts,
-             last_ts, any_ts, sum_lp, length, finished) = carry
+        def step_fn(carry):
+            (step, tokens_buf, caches, cur_logits, prev_was_ts,
+             prev_prev_was_ts, last_ts, any_ts, sum_lp, length,
+             finished) = carry
             lg = cur_logits + self._suppress
             lg = jnp.where(step == 0, lg + self._suppress_blank, lg)
             if not self.opt.without_timestamps:
@@ -186,23 +187,33 @@ class GreedyDecoder:
             is_ts = (next_tok >= self._ts_begin) & ~new_finished
             new_last_ts = jnp.where(is_ts, next_tok, last_ts)
             new_any_ts = any_ts | is_ts
+            tokens_buf = jax.lax.dynamic_update_slice_in_dim(
+                tokens_buf, next_tok[:, None], step, axis=1)
             new_logits, new_caches, _ = model.decoder.apply(
                 variables["decoder"], next_tok[:, None], xa,
                 prompt_len + step, caches)
-            carry = (new_caches, new_logits[:, 0], is_ts,
-                     prev_was_ts, new_last_ts, new_any_ts, sum_lp, length,
-                     new_finished)
-            return carry, next_tok
+            return (step + 1, tokens_buf, new_caches, new_logits[:, 0],
+                    is_ts, prev_was_ts, new_last_ts, new_any_ts, sum_lp,
+                    length, new_finished)
 
-        init = (caches, last_logits,
+        max_new = self.opt.max_new_tokens
+
+        def cond_fn(carry):
+            step, finished = carry[0], carry[-1]
+            # early exit once every sequence latched EOT — long-form windows
+            # rarely use the full token budget
+            return (step < max_new) & ~jnp.all(finished)
+
+        init = (jnp.zeros((), jnp.int32),
+                jnp.full((B, max_new), self._eot, jnp.int32),
+                caches, last_logits,
                 jnp.zeros(B, bool), jnp.zeros(B, bool),
                 jnp.full(B, self._ts_begin, jnp.int32), jnp.zeros(B, bool),
                 jnp.zeros(B, jnp.float32), jnp.zeros(B, jnp.int32),
                 jnp.zeros(B, bool))
-        carry, tokens = jax.lax.scan(
-            step_fn, init, jnp.arange(self.opt.max_new_tokens))
-        sum_lp, length = carry[6], carry[7]
-        return tokens.T, sum_lp, length, no_speech_prob
+        carry = jax.lax.while_loop(cond_fn, step_fn, init)
+        tokens_buf, sum_lp, length = carry[1], carry[8], carry[9]
+        return tokens_buf, sum_lp, length, no_speech_prob
 
     # ------------------------------------------------------------------
     def decode(self, variables, xa: jnp.ndarray,
