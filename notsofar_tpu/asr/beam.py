@@ -69,6 +69,7 @@ class BeamDecoder(GreedyDecoder):
 
         max_new = self.opt.max_new_tokens
         init = dict(
+            step=jnp.zeros((), jnp.int32),
             caches=caches,
             cur_logits=cur_logits,
             tokens=jnp.full((BK, max_new), self._eot, jnp.int32),
@@ -81,7 +82,8 @@ class BeamDecoder(GreedyDecoder):
             any_ts=jnp.zeros(BK, bool),
         )
 
-        def step_fn(st, step):
+        def step_fn(st):
+            step = st["step"]
             lg = st["cur_logits"] + self._suppress
             lg = jnp.where(step == 0, lg + self._suppress_blank, lg)
             if not self.opt.without_timestamps:
@@ -113,6 +115,7 @@ class BeamDecoder(GreedyDecoder):
             new_finished = finished | (next_tok_flat == self._eot)
             is_ts = (next_tok_flat >= self._ts_begin) & ~new_finished
             new_state = dict(
+                step=step + 1,
                 tokens=tokens,
                 sum_lp=top_lp.reshape(BK),
                 length=length,
@@ -127,9 +130,12 @@ class BeamDecoder(GreedyDecoder):
                 prompt_len + step, new_caches)
             new_state["caches"] = new_caches
             new_state["cur_logits"] = new_logits[:, 0]
-            return new_state, ()
+            return new_state
 
-        final, _ = jax.lax.scan(step_fn, init, jnp.arange(max_new))
+        def cond_fn(st):
+            return (st["step"] < max_new) & ~jnp.all(st["finished"])
+
+        final = jax.lax.while_loop(cond_fn, step_fn, init)
         return (final["tokens"].reshape(B, K, max_new),
                 final["sum_lp"].reshape(B, K),
                 final["length"].reshape(B, K), nsp)
