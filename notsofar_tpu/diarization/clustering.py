@@ -56,11 +56,40 @@ def laplacian(aff: np.ndarray) -> np.ndarray:
     return L
 
 
+def _safe_eigvalsh(M: np.ndarray) -> np.ndarray:
+    """eigvalsh with jitter retries — LAPACK can fail to converge on large
+    nearly-degenerate affinity Laplacians (observed with near-identical
+    embeddings); a tiny diagonal jitter resolves it without affecting the
+    eigengap statistics."""
+    M = np.nan_to_num(np.asarray(M, np.float64))
+    for jitter in (0.0, 1e-10, 1e-8, 1e-6):
+        try:
+            return np.linalg.eigvalsh(
+                M + jitter * np.eye(len(M)) if jitter else M)
+        except np.linalg.LinAlgError:
+            continue
+    # final fallback: scipy's driver differs from LAPACK's default
+    import scipy.linalg
+    return scipy.linalg.eigh(M + 1e-6 * np.eye(len(M)), eigvals_only=True)
+
+
+def _safe_eigh(M: np.ndarray):
+    M = np.nan_to_num(np.asarray(M, np.float64))
+    for jitter in (0.0, 1e-10, 1e-8, 1e-6):
+        try:
+            return np.linalg.eigh(M + jitter * np.eye(len(M)) if jitter else M)
+        except np.linalg.LinAlgError:
+            continue
+    import scipy.linalg
+    vals, vecs = scipy.linalg.eigh(M + 1e-6 * np.eye(len(M)))
+    return vals, vecs
+
+
 def estimate_num_speakers(aff: np.ndarray, max_num_speakers: int = 8
                           ) -> Tuple[int, np.ndarray, np.ndarray]:
     """Eigengap speaker-count estimate on the graph Laplacian."""
     L = laplacian(aff)
-    lambdas = np.sort(np.linalg.eigvalsh(L))
+    lambdas = np.sort(_safe_eigvalsh(L))
     lambdas = np.maximum(lambdas, 0.0)
     upper = min(max_num_speakers + 1, len(lambdas))
     gaps = np.diff(lambdas[:upper])  # gap k = lambda_{k+1} - lambda_k
@@ -146,7 +175,7 @@ def spectral_clustering(aff: np.ndarray, n_clusters: int, seed: int = 0
     if n_clusters <= 1 or aff.shape[0] <= 1:
         return np.zeros(aff.shape[0], np.int64)
     L = laplacian(aff)
-    vals, vecs = np.linalg.eigh(L)
+    vals, vecs = _safe_eigh(L)
     emb = vecs[:, :n_clusters]
     return kmeans(emb, n_clusters, seed=seed).astype(np.int64)
 

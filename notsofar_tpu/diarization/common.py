@@ -53,7 +53,12 @@ def compute_overlap_ratio(start1, end1, start2, end2) -> float:
     overlap = min(end1, end2) - max(start1, start2)
     if overlap < 0:
         return 0
-    return overlap / max(end1 - start1, end2 - start2)
+    longer = max(end1 - start1, end2 - start2)
+    if longer <= 0:
+        # two zero-duration words at the same instant (DTW can emit them);
+        # the reference divides by zero here (diarization_common.py:55)
+        return 1.0 if overlap == 0 else 0.0
+    return overlap / longer
 
 
 def deduplicate(all_words_sorted, overlap_threshold: float = 0.5):
@@ -83,6 +88,14 @@ def prepare_diarized_data_frame(all_words, segments_df,
     all_words_sorted = sorted(all_words, key=lambda x: x[2])
     final_words = deduplicate(all_words_sorted) if apply_deduplication \
         else all_words_sorted
+    if not final_words:
+        # dedup drops index 0 unconditionally, so a single-word session can
+        # end up empty (the reference crashes on this path,
+        # diarization_common.py:80-91); return an empty attributed frame.
+        return pd.DataFrame(columns=["start_time", "end_time", "text",
+                                     "word_timing", "meeting_id",
+                                     "session_id", "wav_file_name",
+                                     "speaker_id"])
     segments = merge_words_to_segments_by_spk_change(final_words)
 
     df = pd.DataFrame({

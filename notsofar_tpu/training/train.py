@@ -251,8 +251,12 @@ def run_training_css(train_cfg: TrainCfg, train_dir: str, val_dir: str,
 
     workers = 0 if cfg.is_debug else cfg.dataloader_workers
     local_batch = cfg.global_batch_size // jax.process_count()
+    # drop_last=False matches the reference's torch DataLoader default
+    # (train.py:220-228) — its debug config yields fewer segments than one
+    # batch; ragged batches fall back to replicated sharding.
     train_loader = DataLoader(train_set, local_batch, shuffle=True,
                               seed=cfg.seed + 46117, num_threads=workers,
+                              drop_last=False,
                               shard_index=jax.process_index(),
                               num_shards=jax.process_count())
     val_loader = DataLoader(val_set, local_batch, shuffle=False,
