@@ -1,6 +1,7 @@
 """Benchmark: CSS separation throughput on the real chip.
 
-Measures the multichannel CSS engine end-to-end — full-session STFT,
+Measures the multichannel CSS engine end-to-end in the batched serving
+configuration (4 sessions per dispatch, bfloat16 Conformer) — full-session STFT,
 windowed Conformer-large mask estimation, on-device MVDR, PIT stitching,
 activity gating, iSTFT — on a synthetic 7-mic session, and reports RTFx
 (audio seconds processed per wall-clock second per chip).
@@ -20,7 +21,7 @@ import time
 import numpy as np
 
 
-def main(audio_seconds: float = 120.0, repeats: int = 3):
+def main(audio_seconds: float = 120.0, repeats: int = 3, batch: int = 4):
     from notsofar_tpu.utils.jax_setup import setup_jax
     setup_jax()
     import jax
@@ -44,22 +45,23 @@ def main(audio_seconds: float = 120.0, repeats: int = 3):
 
     fs = 16000
     rng = np.random.RandomState(0)
-    mix = (rng.randn(1, int(audio_seconds * fs), 7) * 0.1).astype(np.float32)
+    mixes = [(rng.randn(1, int(audio_seconds * fs), 7) * 0.1).astype(np.float32)
+             for _ in range(batch)]
+    total_audio = batch * audio_seconds
 
     # warmup (compile)
     t0 = time.time()
-    engine.separate_and_stitch(mix, fs, return_side_info=False)
+    engine.separate_sessions_batch(mixes, fs)
     print(f"warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
     best = 0.0
     for _ in range(repeats):
         t0 = time.time()
-        wavs, _ = engine.separate_and_stitch(mix, fs,
-                                             return_side_info=False)
+        engine.separate_sessions_batch(mixes, fs)
         dt = time.time() - t0
-        best = max(best, audio_seconds / dt)
-        print(f"run: {dt:.2f}s -> {audio_seconds / dt:.1f}x RT",
-              file=sys.stderr)
+        best = max(best, total_audio / dt)
+        print(f"run ({batch}x{audio_seconds:.0f}s): {dt:.2f}s -> "
+              f"{total_audio / dt:.1f}x RT", file=sys.stderr)
 
     print(json.dumps({
         "metric": "css_mc_rtfx",

@@ -136,53 +136,71 @@ class CssEngine:
     @partial(jax.jit, static_argnames=("self", "num_seg", "seg_frames",
                                        "hop_frames", "dilation", "erosion",
                                        "want_side_info"))
-    def _process_session(self, variables: Dict, wav_pad: jnp.ndarray,
-                         wg: jnp.ndarray, valid_frames: jnp.ndarray,
-                         num_seg: int, seg_frames: int, hop_frames: int,
-                         dilation: int, erosion: int,
-                         want_side_info: bool = True
-                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """wav_pad: [C, N_pad] float with N_pad yielding exactly
-        Tpad=(num_seg-1)*hop+T STFT frames. One dispatch runs STFT ->
-        separation -> MVDR -> stitch -> gating -> iSTFT; only the separated
-        waveforms need to leave the device.
-        Returns (wav_i16 [S, samples], scales [S], mask_stitched [F,Tpad,S],
-        activity [Tpad,S])."""
+    def _process_core(self, variables: Dict, wav_pad: jnp.ndarray,
+                      wg: jnp.ndarray, valid_frames: jnp.ndarray,
+                      num_seg: int, seg_frames: int, hop_frames: int,
+                      dilation: int, erosion: int,
+                      want_side_info: bool = True
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray,
+                                 jnp.ndarray]:
+        """Fused multi-session program.
+
+        wav_pad: [Sb, C, N_pad] int16 with N_pad yielding exactly
+        Tpad=(num_seg-1)*hop+T STFT frames; wg: [Sb, num_seg, T];
+        valid_frames: [Sb]. Sessions sharing a segment bucket run as ONE
+        dispatch: STFT -> separation (all sessions' windows chunked through
+        the Conformer together) -> MVDR -> per-session PIT stitch ->
+        weighted OLA -> activity gating -> iSTFT. Only the int16 waveforms
+        leave the device.
+        Returns (wav_i16 [Sb, S, samples], scales [Sb, S],
+        mask_stitched [Sb, F, Tpad, S], activity [Sb, Tpad, S]).
+        """
         cfg = self.cfg
+        Sb, C, _ = wav_pad.shape
         # input arrives int16 (4x smaller host->device transfer; lossless
         # for int16-origin microphone audio) and is rescaled on device
         wav_f = wav_pad.astype(jnp.float32) * (1.0 / 32768.0)
         stft_pad = jnp.moveaxis(
-            self.model.extractor.stft.forward(wav_f), 0, 2)  # [F,Tpad,C]
-        # zero frames beyond the real session extent — parity with the
+            self.model.extractor.stft.forward(wav_f), 1, 3)  # [Sb,F,Tpad,C]
+        # zero frames beyond each session's real extent — parity with the
         # reference's zero-padded final segment (css/css.py:186-190); frames
         # straddling the padded tail would otherwise leak audio energy.
         # NB: jnp.where (not multiply) so the padding is exactly +0+0j —
         # multiplying produces signed zeros whose atan2 phase is +-pi, which
         # the raw-IPD features are sensitive to.
-        frame_valid = (jnp.arange(stft_pad.shape[1]) < valid_frames)
-        stft_pad = jnp.where(frame_valid[None, :, None], stft_pad,
+        frame_valid = (jnp.arange(stft_pad.shape[2])[None, :]
+                       < valid_frames[:, None])                # [Sb, Tpad]
+        stft_pad = jnp.where(frame_valid[:, None, :, None], stft_pad,
                              jnp.zeros((), stft_pad.dtype))
-        F, Tpad, C = stft_pad.shape
+        F = stft_pad.shape[1]
+        Tpad = stft_pad.shape[2]
         S = cfg.num_spks
         T = seg_frames
 
-        # 1. gather windows -> [num_seg, F, T, C]  (css/css.py:182-193)
-        starts = np.arange(num_seg) * hop_frames
-        idx = starts[:, None] + np.arange(T)[None, :]      # [num_seg, T]
-        segs = jnp.moveaxis(stft_pad[:, idx, :], 0, 1)      # [num_seg, F, T, C]
-
-        # 2. chunked separation + MVDR (css/css.py:196-227, on device here)
-        chunk = min(cfg.seg_chunk, num_seg)
-        while num_seg % chunk:
+        # 1+2. windows are gathered lazily per chunk (a materialized
+        # [Sb*num_seg, F, T, C] complex tensor is avoided) and pushed
+        # through separation + MVDR (css/css.py:182-227, on device here).
+        # Outputs use the [.., S, F, T] layout: keeping the 3-source axis
+        # off the minor dimension avoids XLA's 3->128 lane padding (a 44x
+        # memory expansion observed on the [.., T, S] layout).
+        total_seg = Sb * num_seg
+        chunk = min(cfg.seg_chunk, total_seg)
+        while total_seg % chunk:
             chunk -= 1
-        n_chunks = num_seg // chunk
-        segs_c = segs.reshape(n_chunks, chunk, F, T, C)
 
         mask_floor_db = cfg.mc_mask_floor_db if C > 1 else cfg.sc_mask_floor_db
         mask_floor = 10.0 ** (mask_floor_db / 20.0) if np.isfinite(mask_floor_db) else 0.0
 
-        def sep_chunk(seg_chunk_c):
+        def gather_one(seg_id):
+            b = seg_id // num_seg
+            k = seg_id % num_seg
+            sl = jax.lax.dynamic_slice(
+                stft_pad, (b, 0, k * hop_frames, 0), (1, F, T, C))
+            return sl[0]
+
+        def sep_chunk(chunk_idx):
+            seg_ids = chunk_idx * chunk + jnp.arange(chunk)
+            seg_chunk_c = jax.vmap(gather_one)(seg_ids)   # [chunk, F, T, C]
             model_in = seg_chunk_c if C > 1 else seg_chunk_c[..., 0]
             masks = self.model.separate(variables, model_in)
             spk_m, noi_m = masks["spk_masks"], masks["noise_masks"]
@@ -192,17 +210,20 @@ class CssEngine:
                 seg_for_masking = seg_chunk_c[..., 0:1]
             clipped = jnp.clip(spk_m, min=mask_floor)
             separated = seg_for_masking * clipped.astype(seg_for_masking.dtype)
-            return separated, spk_m
+            # -> [chunk, S, F, T]
+            return (jnp.moveaxis(separated, 3, 1),
+                    jnp.moveaxis(spk_m, 3, 1))
 
-        separated, spk_masks = jax.lax.map(sep_chunk, segs_c)
-        separated = separated.reshape(num_seg, F, T, S)
-        spk_masks = spk_masks.reshape(num_seg, F, T, S)
+        separated, spk_masks = jax.lax.map(
+            sep_chunk, jnp.arange(total_seg // chunk))
+        separated = separated.reshape(Sb, num_seg, S, F, T)
+        spk_masks = spk_masks.reshape(Sb, num_seg, S, F, T)
 
         # 3. PIT stitching (css/css.py:263-295): align each segment to the
         # previously-aligned one on the overlap region. Decomposed for TPU:
         # permuting the left operand only permutes ROWS of the pairwise loss
         # matrix, so all adjacent-pair loss matrices are computed in ONE
-        # batched pass, and the sequential chain runs over tiny [S, S]
+        # batched pass, and the sequential chain runs over tiny [Sb, S, S]
         # matrices (a ~µs-per-step scan instead of per-step full-tensor PIT).
         overlap = T - hop_frames
         if cfg.stitching_input == "mask":
@@ -213,56 +234,117 @@ class CssEngine:
             raise ValueError(f"unexpected stitching_input: {cfg.stitching_input}")
 
         base_loss = BASE_LOSSES[cfg.stitching_loss]
-        lm_all = pairwise_loss_matrix(
-            stitch_in[:-1, :, -overlap:, :],   # left = segment i
-            stitch_in[1:, :, :overlap, :],     # right = segment i+1
-            base_loss)                          # [num_seg-1, S, S]
+        lm_elem = base_loss(
+            stitch_in[:, :-1, :, None, :, -overlap:],   # left seg i, row a
+            stitch_in[:, 1:, None, :, :, :overlap])     # right seg i+1, col b
+        lm_all = lm_elem.mean(axis=(4, 5))              # [Sb, num_seg-1, S, S]
         all_perms = jnp.asarray(
             np.array(list(__import__("itertools").permutations(range(S))),
-                     dtype=np.int32))           # [P, S]
+                     dtype=np.int32))                    # [P, S]
+        P = all_perms.shape[0]
 
         def chain_step(p_prev, lm):
-            lm_eff = lm[p_prev, :]                       # rows permuted
-            # totals[k] = sum_a lm_eff[a, all_perms[k, a]]
+            # p_prev: [Sb, S]; lm: [Sb, S, S]
+            lm_eff = jnp.take_along_axis(lm, p_prev[:, :, None], axis=1)
             gathered = jnp.take_along_axis(
-                lm_eff[None].repeat(all_perms.shape[0], 0),
-                all_perms[:, :, None], axis=2)[..., 0]
-            totals = gathered.sum(axis=1)
-            r = all_perms[jnp.argmin(totals)]
+                jnp.broadcast_to(lm_eff[:, None], (Sb, P, S, S)),
+                jnp.broadcast_to(all_perms[None, :, :, None], (Sb, P, S, 1)),
+                axis=3)[..., 0]                          # [Sb, P, S]
+            totals = gathered.sum(axis=-1)               # [Sb, P]
+            r = all_perms[jnp.argmin(totals, axis=-1)]   # [Sb, S]
             return r, r
 
-        p0 = jnp.arange(S, dtype=jnp.int32)
-        _, perms_rest = jax.lax.scan(chain_step, p0, lm_all)
-        perms = jnp.concatenate([p0[None], perms_rest], axis=0)
-        separated = permute_sources(separated, perms)
-        spk_masks = permute_sources(spk_masks, perms)
+        p0 = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (Sb, S))
+        _, perms_rest = jax.lax.scan(chain_step, p0,
+                                     jnp.moveaxis(lm_all, 1, 0))
+        perms = jnp.concatenate([p0[None], perms_rest], axis=0)  # [nseg,Sb,S]
+        perms = jnp.moveaxis(perms, 0, 1)                        # [Sb,nseg,S]
+
+        def permute_axis2(arr):
+            return jnp.take_along_axis(
+                arr, perms[:, :, :, None, None], axis=2)
+
+        separated = permute_axis2(separated)
+        spk_masks = permute_axis2(spk_masks)
 
         # 4. weighted overlap-add via the two-slot reshape (T == 2*hop)
-        stft_stitched, wsum = _weighted_ola(separated, wg, hop_frames, Tpad)
-        mask_stitched, _ = _weighted_ola(spk_masks, wg, hop_frames, Tpad)
+        ola = jax.vmap(lambda x, w: _weighted_ola_sft(x, w, hop_frames, Tpad))
+        stft_stitched, wsum = ola(separated, wg)  # [Sb,S,F,Tpad], [Sb,Tpad]
+        mask_stitched, _ = ola(spk_masks, wg)
         wsafe = jnp.where(wsum > 1e-5, wsum, 1.0)
-        stft_stitched = stft_stitched / wsafe[None, :, None]
-        mask_stitched = mask_stitched / wsafe[None, :, None]
+        stft_stitched = stft_stitched / wsafe[:, None, None, :]
+        mask_stitched = mask_stitched / wsafe[:, None, None, :]
 
         # 5. temporal activity gating (css/css.py:301-312)
-        activity = mask_stitched.mean(axis=0)                # [Tpad, S]
+        activity = mask_stitched.mean(axis=2)              # [Sb, S, Tpad]
         activity_b = activity >= cfg.activity_th
-        act = dilate_jax(activity_b, dilation, axis=0)
-        act = erode_jax(act, erosion, axis=0)
-        gated = stft_stitched * act[None].astype(stft_stitched.dtype)
+        act = dilate_jax(activity_b, dilation, axis=2)
+        act = erode_jax(act, erosion, axis=2)
+        gated = stft_stitched * act[:, :, None, :].astype(stft_stitched.dtype)
 
         wavs = self.model.extractor.istft_op.inverse(
-            jnp.moveaxis(gated, 2, 0))  # [S, samples]
+            gated.reshape(Sb * S, F, Tpad))
+        wavs = wavs.reshape(Sb, S, -1)
         # quantize on device: the separated streams are written as wavs and
         # consumed by 16 kHz ASR — int16 is transparent (the microphones are
         # int16 sources) and cuts the device->host transfer 4x.
-        peak = jnp.max(jnp.abs(wavs), axis=1, keepdims=True)
+        peak = jnp.max(jnp.abs(wavs), axis=2, keepdims=True)
         scale = 32767.0 / jnp.maximum(peak, 1e-7)
         wav_i16 = jnp.round(wavs * scale).astype(jnp.int16)
         if not want_side_info:
             # let XLA drop the stitched-mask output buffer entirely
             mask_stitched = jnp.zeros((0,), jnp.float32)
-        return wav_i16, scale[:, 0], mask_stitched, act
+        return wav_i16, scale[..., 0], mask_stitched, act
+
+    # ---- batched multi-session entry -----------------------------------
+    def separate_sessions_batch(self, speech_mixes: List[np.ndarray], fs: int
+                                ) -> List[List[np.ndarray]]:
+        """Separate several sessions in one dispatch (same mic count; padded
+        to a common segment bucket). Returns per-session stream lists."""
+        cfg = self.cfg
+        geo = self.seg_geometry(fs)
+        T, hop = geo["seg_frames"], geo["hop_frames"]
+        overlap = T - hop
+        from notsofar_tpu.ops.stft import num_frames
+        infos = []
+        for mix in speech_mixes:
+            mf = max(num_frames(mix.shape[1], self.frame_len, self.frame_hop), T)
+            infos.append(mf)
+        num_seg_max = max(int(np.ceil((mf - overlap) / hop)) for mf in infos)
+        bucket = cfg.seg_bucket_multiple
+        num_seg = int(np.ceil(num_seg_max / bucket) * bucket)
+        t_pad = (num_seg - 1) * hop + T
+        n_pad = (t_pad - 1) * self.frame_hop + self.frame_len
+
+        B = len(speech_mixes)
+        C = speech_mixes[0].shape[2]
+        wav_pad = np.zeros((B, C, n_pad), np.int16)
+        wgs = np.zeros((B, num_seg, T), np.float32)
+        valid = np.zeros(B, np.int32)
+        for b, mix in enumerate(speech_mixes):
+            m = mix[0].T[:, :n_pad]
+            peak = float(np.abs(m).max()) if m.size else 0.0
+            scaled = m * (32768.0 / peak if peak > 1.0 else 32768.0)
+            q = np.rint(scaled, out=scaled)
+            np.clip(q, -32768, 32767, out=q)
+            wav_pad[b, :, :m.shape[1]] = q.astype(np.int16)
+            mf = infos[b]
+            valid[b] = mf
+            nseg_real = int(np.ceil((mf - overlap) / hop))
+            wgs[b] = build_weight_matrix(nseg_real, num_seg, T,
+                                         geo["m0"], geo["m1"])
+        wav_i16, scales, _, _ = self._process_core(
+            self.variables, jnp.asarray(wav_pad), jnp.asarray(wgs),
+            jnp.asarray(valid), num_seg, T, hop,
+            geo["dilation"], geo["erosion"], want_side_info=False)
+        wav_i16 = np.asarray(wav_i16)
+        scales = np.asarray(scales)
+        out = []
+        for b, mix in enumerate(speech_mixes):
+            n_real = (infos[b] - 1) * self.frame_hop + self.frame_len
+            wavs = wav_i16[b, :, :n_real].astype(np.float32) / scales[b][:, None]
+            out.append([wavs[i] for i in range(cfg.num_spks)])
+        return out
 
     # ---- host wrapper -----------------------------------------------------
     def separate_and_stitch(self, speech_mix: np.ndarray, fs: int,
@@ -316,11 +398,15 @@ class CssEngine:
         assert (cover[:mix_frames] > 1e-5).all(), \
             "zero OLA weights found. check hop_size, segment_size or m0, m1"
 
-        wav_i16, scales, mask_stitched, act = self._process_session(
-            self.variables, jnp.asarray(wav_pad), jnp.asarray(wg),
-            jnp.asarray(mix_frames, jnp.int32), num_seg, T, hop,
+        wav_i16, scales, mask_stitched, act = self._process_core(
+            self.variables, jnp.asarray(wav_pad[None]), jnp.asarray(wg[None]),
+            jnp.asarray([mix_frames], jnp.int32), num_seg, T, hop,
             geo["dilation"], geo["erosion"],
             want_side_info=return_side_info)
+        wav_i16, scales = wav_i16[0], scales[0]
+        act = np.moveaxis(np.asarray(act[0]), 0, 1)        # -> [Tpad, S]
+        if return_side_info:
+            mask_stitched = np.moveaxis(np.asarray(mask_stitched[0]), 0, 2)
 
         n_real = (mix_frames - 1) * self.frame_hop + self.frame_len
         wavs = (np.asarray(wav_i16)[:, :n_real].astype(np.float32)
@@ -329,7 +415,7 @@ class CssEngine:
         if return_side_info:
             # device->host of ~50 MB per 6-min session; skipped on the
             # serving path (css/inference.py passes False)
-            side_info["mask_stitched"] = np.asarray(mask_stitched)[:, :mix_frames]
+            side_info["mask_stitched"] = mask_stitched[:, :mix_frames]
             side_info["activity_final"] = np.asarray(act)[:mix_frames]
         return [wavs[i] for i in range(cfg.num_spks)], side_info
 
@@ -353,6 +439,32 @@ def _weighted_ola(segs: jnp.ndarray, wg: jnp.ndarray, hop: int, t_pad: int
     slots = slots.at[1:].add(second)
     stitched = jnp.moveaxis(slots, 0, 1).reshape(F, (num_seg + 1) * hop, S)
     stitched = stitched[:, :t_pad]
+
+    wslots = jnp.zeros((num_seg + 1, hop), jnp.float32)
+    wslots = wslots.at[:-1].add(wg[:, :hop])
+    wslots = wslots.at[1:].add(wg[:, hop:])
+    wsum = wslots.reshape(-1)[:t_pad]
+    return stitched, wsum
+
+
+def _weighted_ola_sft(segs: jnp.ndarray, wg: jnp.ndarray, hop: int,
+                      t_pad: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted overlap-add in the [num_seg, S, F, T] layout (T minor).
+
+    Segment s covers frames [s*hop, s*hop + T) with T == 2*hop: exactly two
+    hop-wide slots, so OLA is two adds on a [num_seg+1, hop] slot grid.
+    Returns (stitched [S, F, t_pad], wsum [t_pad]).
+    """
+    num_seg, S, F, T = segs.shape
+    assert T == 2 * hop
+    w = wg[:, None, None, :].astype(jnp.float32)
+    contrib = segs * w.astype(segs.dtype)               # [nseg,S,F,T]
+    first, second = contrib[..., :hop], contrib[..., hop:]
+    slots = jnp.zeros((num_seg + 1, S, F, hop), segs.dtype)
+    slots = slots.at[:-1].add(first)
+    slots = slots.at[1:].add(second)
+    stitched = jnp.moveaxis(slots, 0, 2)                # [S,F,nseg+1,hop]
+    stitched = stitched.reshape(S, F, (num_seg + 1) * hop)[..., :t_pad]
 
     wslots = jnp.zeros((num_seg + 1, hop), jnp.float32)
     wslots = wslots.at[:-1].add(wg[:, :hop])

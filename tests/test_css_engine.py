@@ -191,3 +191,20 @@ def test_short_session_single_segment():
     assert len(wavs) == 3
     assert side["num_segments"] == 1
     assert all(np.isfinite(w).all() for w in wavs)
+
+
+def test_batched_sessions_match_single():
+    model, variables = SC
+    rng = np.random.RandomState(9)
+    mixes = [(rng.randn(1, int((4 + i) * FS), 1) * 0.1).astype(np.float32)
+             for i in range(3)]
+    cfg = CssCfg(seg_bucket_multiple=4, seg_chunk=2)
+    engine = CssEngine(model, variables, cfg)
+    singles = [engine.separate_and_stitch(m, FS, return_side_info=False)[0]
+               for m in mixes]
+    batched = engine.separate_sessions_batch(mixes, FS)
+    assert len(batched) == 3
+    for s_wavs, b_wavs in zip(singles, batched):
+        for sw, bw in zip(s_wavs, b_wavs):
+            n = min(len(sw), len(bw))
+            np.testing.assert_allclose(sw[:n], bw[:n], atol=2e-4)
