@@ -69,6 +69,8 @@ class CssCfg:
     seg_bucket_multiple: int = 16  # num_segments padded to a multiple of this
     compute_dtype: str = "bfloat16"  # Conformer matmul dtype for serving
     #   ("float32" for strict parity runs; params stay float32 either way)
+    batch_sessions: int = 4     # sessions separated per dispatch (the
+    #   orchestrator groups same-mic-count sessions; 1 = reference-like)
 
 
 def calc_segment_weight(seg_frames: int, m0: int, m1: int,

@@ -85,6 +85,55 @@ def get_css_engine(models_dir, checkpoint_rel: str, cfg: CssCfg) -> CssEngine:
     return _ENGINE_CACHE[key]
 
 
+def css_batch_prepass(out_dir: str, models_dir: str,
+                      sessions: pd.DataFrame, cfg: CssCfg,
+                      fetch_from_cache: bool):
+    """Separate many sessions with batched dispatches (cfg.batch_sessions
+    per program), writing the same per-session wav layout css_inference
+    reads back. Groups sessions by mic count; the per-session loop then
+    hits these results as cache.
+
+    This is the TPU-idiomatic front-end for full-dataset runs — the
+    per-session contract (css/css.py:51-107) is unchanged, throughput
+    roughly doubles versus one-session dispatches (bench.py).
+    """
+    if cfg.pass_through_ch0 or cfg.batch_sessions <= 1:
+        return
+    todo = []
+    for _, session in sessions.iterrows():
+        css_out_dir = Path(out_dir) / "css_inference" / session.session_id
+        if fetch_from_cache and sorted(css_out_dir.glob("sep*.wav")):
+            continue
+        todo.append(session)
+    if not todo:
+        return
+    by_mc: Dict[bool, list] = {}
+    for s in todo:
+        by_mc.setdefault(bool(s.is_mc), []).append(s)
+    for is_mc, group in by_mc.items():
+        engine = get_css_engine(
+            models_dir, cfg.checkpoint_mc if is_mc else cfg.checkpoint_sc, cfg)
+        for i in range(0, len(group), cfg.batch_sessions):
+            chunk = group[i:i + cfg.batch_sessions]
+            mixes, srs = [], []
+            for s in chunk:
+                mix, sr = load_session_audio(s.wav_file_names, is_mc=is_mc)
+                if cfg.slice_audio_for_debug:
+                    mix = mix[:, sr * 20:sr * 30, :]
+                mixes.append(mix)
+                srs.append(sr)
+            _LOG.info(f"CSS batched prepass: separating {len(chunk)} "
+                      f"{'MC' if is_mc else 'SC'} sessions in one dispatch")
+            results = engine.separate_sessions_batch(mixes, srs[0])
+            for s, mix, wavs in zip(chunk, mixes, results):
+                css_out_dir = Path(out_dir) / "css_inference" / s.session_id
+                write_wav(css_out_dir / "input_mixture.wav",
+                          samps=mix[0, :, 0], sr=srs[0])
+                for k, w in enumerate(wavs):
+                    write_wav(css_out_dir / f"sep_stream{k}.wav", samps=w,
+                              sr=srs[0])
+
+
 def css_inference(out_dir: str, models_dir: str, session: pd.Series,
                   cfg: CssCfg, fetch_from_cache: bool) -> pd.Series:
     """Separate one session into cfg.num_spks wav streams.

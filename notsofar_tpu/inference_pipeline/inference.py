@@ -53,13 +53,24 @@ def inference_pipeline(meetings_dir: str, models_dir: str, out_dir: str,
                                                  cfg.session_query)
 
     my_rows = shard_sessions(len(all_session_df))
+
+    # TPU-idiomatic front-end: separate sessions in batched dispatches up
+    # front (cfg.css.batch_sessions per program); the per-session loop then
+    # reads the results back through the standard cache layout.
+    css_cache = cache.css
+    if cfg.css.batch_sessions > 1 and not cfg.css.pass_through_ch0:
+        from notsofar_tpu.css.inference import css_batch_prepass
+        css_batch_prepass(out_dir, models_dir, all_session_df.iloc[my_rows],
+                          cfg.css, cache.css)
+        css_cache = True
+
     wer_dfs, hyp_jsons = [], []
     for pos in my_rows:
         session = all_session_df.iloc[pos]
         _LOG.info(f"Processing session: {session.session_id}")
 
         session = css_inference(out_dir, models_dir, session, cfg.css,
-                                cache.css)
+                                css_cache)
         segments_df = asr_inference(out_dir, session, cfg.asr, cache.asr,
                                     models_dir=models_dir)
         attributed_segments_df = diarization_inference(

@@ -166,3 +166,34 @@ def test_full_pipeline(tmp_path, monkeypatch):
     assert np.isfinite(wer_df.tcp_wer.iloc[0])
     assert np.isfinite(wer_df.tcorc_wer.iloc[0])
     assert (out_dir / "wer" / "css_tiny_by_wav_file_name_results.csv").exists()
+
+
+def make_second_meeting(meetings_dir: Path, meeting_id="MTG_9002", seconds=5):
+    return make_meeting(meetings_dir, meeting_id=meeting_id, seconds=seconds)
+
+
+def test_batched_css_prepass(tmp_path, monkeypatch):
+    """Two sessions separated through the batched prepass must flow through
+    the standard per-session loop via the cache layout."""
+    meetings = tmp_path / "MTG"
+    make_meeting(meetings)
+    make_meeting(meetings, meeting_id="MTG_9002", seconds=5)
+    models_dir = tmp_path / "models"
+    make_sc_css_model(models_dir)
+
+    import notsofar_tpu.asr.inference as asr_mod
+    monkeypatch.setattr(asr_mod, "WhisperTranscriber", StubTranscriber)
+    StubTranscriber.calls = 0
+
+    cfg = InferenceCfg()
+    cfg.asr.model_name = "tiny"
+    cfg.diarization.method = "by_wav_file_name"
+    cfg.css.seg_bucket_multiple = 4
+    cfg.css.batch_sessions = 2
+
+    out_dir = tmp_path / "out"
+    wer_df = inference_pipeline(str(meetings), str(models_dir), str(out_dir),
+                                cfg, FetchFromCacheCfg())
+    for sid in ["singlechannel/MTG_9001_sc0", "singlechannel/MTG_9002_sc0"]:
+        assert sorted((out_dir / "css_inference" / sid).glob("sep_stream*.wav"))
+    assert wer_df is not None and len(wer_df) == 2

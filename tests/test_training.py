@@ -222,3 +222,27 @@ def test_checkpoint_resume(tmp_path, sim_root):
     b = jax.tree_util.tree_leaves(restored.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_tar_partition_dataset(tmp_path):
+    """The tar-archive partition format must read identically to flat."""
+    import tarfile
+    flat = write_sim_dataset(tmp_path / "flat", n_utts=2, n_samples=FS)
+    tar_dir = tmp_path / "tar"
+    tar_dir.mkdir()
+    umap = tmp_path / "utterances.map"
+    umap.write_text((tmp_path / "flat" / "dataset-000000.map").read_text())
+    with tarfile.open(tar_dir / "part-000000.tar", "w") as tf:
+        # utterances.map inside the tar is the index (simulated_dataset.py:73-80)
+        tf.add(umap, arcname="utterances.map")
+        for f in sorted((tmp_path / "flat").iterdir()):
+            if f.name.endswith(".map"):
+                continue
+            tf.add(f, arcname=f.name)
+    sp = SegmentSplitter(2000, 4000, 0.5, 8000)
+    ds_flat = SimulatedDataset(str(flat), sp, seed=7)
+    ds_tar = SimulatedDataset(str(tar_dir), sp, seed=7)
+    assert len(ds_flat) == len(ds_tar)
+    a, b = ds_flat[0], ds_tar[0]
+    np.testing.assert_allclose(a["mixture"], b["mixture"], atol=1e-6)
+    np.testing.assert_allclose(a["gt_noise"], b["gt_noise"], atol=1e-6)
