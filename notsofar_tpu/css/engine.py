@@ -3,22 +3,28 @@
 TPU-native rebuild of separate_and_stitch (/root/reference/css/css.py:110-338).
 The reference's design runs a Python loop over ~240 three-second windows,
 each with a host->GPU transfer, a CPU NumPy MVDR, and a CPU scipy Hungarian
-stitch. Here the whole session is one compiled program per padded
+stitch. Here a *batch of sessions* is one compiled program per padded
 segment-count bucket:
 
-* full-session STFT on device (HBM-resident; ~6 min MC ≈ 330 MB complex64),
-* all windows gathered into a [num_seg, F, T, C] batch and pushed through
-  the Conformer in fixed-size chunks via lax.map — large, static matmuls
-  that keep the MXU busy instead of 240 tiny dispatches,
+* int16 waveforms in, int16 separated streams out (4x smaller transfers;
+  lossless for microphone audio); full-session STFT on device,
+* every session's windows gathered lazily per chunk and pushed through the
+  Conformer together via lax.map — large, static matmuls that keep the MXU
+  busy instead of hundreds of tiny dispatches,
 * MVDR fused on device right after the masks (ops/mvdr.py),
-* PIT stitching as a lax.scan carrying the previously-aligned mask
-  (brute-force 6-permutation argmin, no host Hungarian),
+* PIT stitching decomposed: all adjacent-pair loss matrices in one batched
+  pass, then a per-session scan over [S, S] matrices (brute-force
+  6-permutation argmin, no host Hungarian),
 * trapezoid weighted overlap-add using the 2-slot reshape trick
   (segment length == 2 hops in the NOTSOFAR config),
-* temporal activity gating with reduce_window morphology,
-* iSTFT on device.
+* temporal activity gating with reduce_window morphology, iSTFT on device.
+
+Layout: big tensors keep [.., S, F, T] with time minor — leaving the
+3-source axis minor-most makes XLA pad 3->128 lanes (44x memory).
 
 Per-step semantic parity notes are inline, citing css/css.py lines.
+Measured on one v5e chip: ~100x real-time for 4-session batches with the
+bf16 Conformer-large + MVDR configuration (bench.py).
 """
 import math
 from dataclasses import dataclass
@@ -31,8 +37,7 @@ import numpy as np
 
 from notsofar_tpu.models.css_wrapper import CssModel
 from notsofar_tpu.ops.mvdr import mvdr_beamform
-from notsofar_tpu.ops.pit import (BASE_LOSSES, pairwise_loss_matrix,
-                                  permute_sources, pit_loss)
+from notsofar_tpu.ops.pit import BASE_LOSSES, permute_sources
 from notsofar_tpu.utils.morphology import dilate_jax, erode_jax
 from notsofar_tpu.utils.logging_def import get_logger
 
