@@ -49,6 +49,11 @@ class TranscribeOptions:
     hallucination_silence_threshold: Optional[float] = 2.0
     max_new_tokens: int = 224
     beam_size: Optional[int] = None  # None/1 = greedy; 5 in the shipped cfg
+    # Throughput mode: decode all active streams in ONE scan per iteration.
+    # Requires condition_on_previous_text=False (prompts must be identical
+    # across the batch); amortizes the memory-bound decoder weight reads
+    # across streams (~Bx decode speedup on large models).
+    lockstep_decode: bool = False
 
 
 def compression_ratio(text: str) -> float:
@@ -219,6 +224,21 @@ class WhisperTranscriber:
                 windows[b] = mels[b][:, seeks[b]:seeks[b] + N_FRAMES]
             xa_full = self.model.encode(self.variables, jnp.asarray(windows))
             xa = xa_full[active, :, :] if len(active) != B else xa_full
+
+            if self.opt.lockstep_decode and \
+                    not self.opt.condition_on_previous_text:
+                # one decode scan for all active streams (identical prompts);
+                # the temperature-fallback ladder is per-window and stays on
+                # the serial paths
+                res_all = self.decoder.decode(self.variables, xa_full, None)
+                for b in active:
+                    self._consume_window(
+                        b, dict(tokens=[res_all["tokens"][b]],
+                                avg_logprob=res_all["avg_logprob"][b:b + 1],
+                                no_speech_prob=res_all["no_speech_prob"][b:b + 1]),
+                        xa_full[b:b + 1], audios, mels, content, seeks,
+                        all_tokens, prompt_reset, segments, last_text)
+                continue
             # condition_on_previous_text requires equal prompts per batch
             # element; decode each active stream against its own prompt only
             # when prompts differ, else share one decode call. In practice
@@ -227,43 +247,52 @@ class WhisperTranscriber:
             for j, b in enumerate(active):
                 prompt = all_tokens[b][prompt_reset[b]:] \
                     if self.opt.condition_on_previous_text else None
-                res = self._decode_with_fallback(xa[j:j + 1], prompt, salt=seeks[b])
-                tokens = res["tokens"][0]
-                avg_lp = float(res["avg_logprob"][0])
-                nsp = float(res["no_speech_prob"][0])
-                seg_frames = min(N_FRAMES, content[b] - seeks[b])
-                time_offset = seeks[b] * HOP_LENGTH / SAMPLE_RATE
-                if nsp > self.opt.no_speech_threshold and \
-                        avg_lp < self.opt.logprob_threshold:
-                    seeks[b] += seg_frames
-                    continue
-                new_segments, consumed = self._parse_segments(
-                    tokens, time_offset, seg_frames)
-                text_now = " ".join(s["text"] for s in new_segments).strip()
-                if self.opt.hallucination_silence_threshold is not None and \
-                        text_now and text_now == last_text[b]:
-                    energy = float(np.abs(audios[b][
-                        seeks[b] * HOP_LENGTH:
-                        (seeks[b] + seg_frames) * HOP_LENGTH]).mean())
-                    if energy < 1e-4:
-                        seeks[b] += seg_frames
-                        continue
-                last_text[b] = text_now or last_text[b]
-                if self.opt.word_timestamps and new_segments:
-                    words = find_word_timestamps(
-                        self.model, self.variables, self.tok, xa[j:j + 1],
-                        [t for t in tokens if t < self.tok.eot],
-                        num_frames=seg_frames, time_offset=time_offset)
-                    _distribute_words(new_segments, words)
-                segments[b].extend(new_segments)
-                all_tokens[b].extend(t for t in tokens if t < self.tok.eot)
-                if not self.opt.condition_on_previous_text or avg_lp < -1.0:
-                    prompt_reset[b] = len(all_tokens[b])
-                seeks[b] += consumed
+                res = self._decode_with_fallback(xa[j:j + 1], prompt,
+                                                 salt=seeks[b])
+                self._consume_window(b, res, xa[j:j + 1], audios, mels,
+                                     content, seeks, all_tokens, prompt_reset,
+                                     segments, last_text)
 
         return [dict(text=" ".join(s["text"].strip() for s in segments[b]),
                      segments=segments[b], language=self.opt.language)
                 for b in range(B)]
+
+    def _consume_window(self, b, res, xa_b, audios, mels, content, seeks,
+                        all_tokens, prompt_reset, segments, last_text):
+        """Apply one decoded window's results to stream b's state (seek
+        advancement, no-speech skip, hallucination guard, word timestamps)."""
+        tokens = res["tokens"][0]
+        avg_lp = float(res["avg_logprob"][0])
+        nsp = float(res["no_speech_prob"][0])
+        seg_frames = min(N_FRAMES, content[b] - seeks[b])
+        time_offset = seeks[b] * HOP_LENGTH / SAMPLE_RATE
+        if nsp > self.opt.no_speech_threshold and \
+                avg_lp < self.opt.logprob_threshold:
+            seeks[b] += seg_frames
+            return
+        new_segments, consumed = self._parse_segments(
+            tokens, time_offset, seg_frames)
+        text_now = " ".join(s["text"] for s in new_segments).strip()
+        if self.opt.hallucination_silence_threshold is not None and \
+                text_now and text_now == last_text[b]:
+            energy = float(np.abs(audios[b][
+                seeks[b] * HOP_LENGTH:
+                (seeks[b] + seg_frames) * HOP_LENGTH]).mean())
+            if energy < 1e-4:
+                seeks[b] += seg_frames
+                return
+        last_text[b] = text_now or last_text[b]
+        if self.opt.word_timestamps and new_segments:
+            words = find_word_timestamps(
+                self.model, self.variables, self.tok, xa_b,
+                [t for t in tokens if t < self.tok.eot],
+                num_frames=seg_frames, time_offset=time_offset)
+            _distribute_words(new_segments, words)
+        segments[b].extend(new_segments)
+        all_tokens[b].extend(t for t in tokens if t < self.tok.eot)
+        if not self.opt.condition_on_previous_text or avg_lp < -1.0:
+            prompt_reset[b] = len(all_tokens[b])
+        seeks[b] += consumed
 
     # ------------------------------------------------------------------
     def _parse_segments(self, tokens: List[int], time_offset: float,

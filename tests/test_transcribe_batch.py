@@ -36,3 +36,24 @@ def test_batch_empty_and_single(hf_pair):
     one = tr.transcribe_batch(
         [np.random.RandomState(1).randn(16000).astype(np.float32) * 0.05])
     assert len(one) == 1 and "segments" in one[0]
+
+
+def test_lockstep_decode_matches_serial_without_context(hf_pair):
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    base = dict(word_timestamps=False, max_new_tokens=10,
+                condition_on_previous_text=False,
+                temperatures=(0.0,))
+    tr_serial = WhisperTranscriber(jm, variables, tok,
+                                   TranscribeOptions(**base))
+    tr_lock = WhisperTranscriber(jm, variables, tok,
+                                 TranscribeOptions(lockstep_decode=True,
+                                                   **base))
+    rng = np.random.RandomState(21)
+    streams = [rng.randn(16000 * (1 + i)).astype(np.float32) * 0.05
+               for i in range(3)]
+    a = tr_serial.transcribe_batch(streams)
+    b = tr_lock.transcribe_batch(streams)
+    for ra, rb in zip(a, b):
+        assert [s["text"] for s in ra["segments"]] == \
+               [s["text"] for s in rb["segments"]]
