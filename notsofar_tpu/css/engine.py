@@ -120,9 +120,6 @@ class CssEngine:
         stft = model.extractor.stft
         self.frame_len = stft.frame_len
         self.frame_hop = stft.frame_hop
-        fs_ratio = cfg.hop_size_sec / cfg.segment_size_sec
-        # frames-per-segment from the STFT geometry (css/css.py:144-152)
-        self._seg_frames_cache: Dict[int, int] = {}
 
     # ---- geometry ------------------------------------------------------
     def seg_geometry(self, fs: int) -> Dict[str, int]:

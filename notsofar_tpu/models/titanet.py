@@ -199,7 +199,6 @@ class SpeakerEncoder:
         """Load from a NeMo .nemo archive or a torch state-dict file."""
         from notsofar_tpu.models.titanet_convert import (convert_nemo_titanet,
                                                          load_nemo_archive)
-        import numpy as _np
         if str(path).endswith(".nemo"):
             sd, _ = load_nemo_archive(path)
         else:
