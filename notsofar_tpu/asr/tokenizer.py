@@ -48,19 +48,24 @@ class SpecialTokens:
 
 def special_layout(n_base_vocab: int, multilingual: bool,
                    num_languages: int) -> SpecialTokens:
-    """Token layout after the base BPE vocab (whisper convention)."""
-    eot = n_base_vocab
+    """Special-token layout (whisper convention).
+
+    Multilingual encodings place <|endoftext|> AFTER the base vocab; the
+    GPT-2 (.en) encoding already contains it as its last base token
+    (rank n_base-1). Both append the same special set — sot, the language
+    tokens, tasks, lm/prev markers, nospeech, notimestamps, then 1501
+    timestamp tokens.
+    """
     if multilingual:
+        eot = n_base_vocab
         sot = eot + 1
-        langs = LANGUAGES_V3[:num_languages]
-        lang_ids = {l: sot + 1 + i for i, l in enumerate(langs)}
-        translate = sot + 1 + num_languages
-        transcribe = translate + 1
     else:
-        sot = eot + 1
-        lang_ids = {"en": sot + 1}  # placeholder; en-only models skip it
-        translate = sot + 1 + num_languages
-        transcribe = translate + 1
+        eot = n_base_vocab - 1   # <|endoftext|> is the last base token
+        sot = n_base_vocab
+    langs = LANGUAGES_V3[:num_languages]
+    lang_ids = {l: sot + 1 + i for i, l in enumerate(langs)}
+    translate = sot + 1 + num_languages
+    transcribe = translate + 1
     sot_lm = transcribe + 1
     sot_prev = sot_lm + 1
     no_speech = sot_prev + 1
@@ -199,14 +204,15 @@ def load_tokenizer(model_name: str, dims_n_vocab: int,
     explicit argument), else the byte-level fallback."""
     multilingual = not model_name.endswith(".en")
     num_languages = 100 if dims_n_vocab == 51866 else 99
-    n_base = dims_n_vocab - (1501 + (num_languages + 8 if multilingual else 0)
-                             + 0) - 0
-    # layout arithmetic: n_vocab = base + 1(eot)+1(sot)+L+2(tasks)+2(lm,prev)
-    #                    +1(nospeech)+1(nots)+1501(timestamps)
+    # layout arithmetic:
+    #   multilingual: n_vocab = base + 1(eot) + 1(sot) + L + 2(tasks)
+    #                 + 2(lm, prev) + 1(nospeech) + 1(nots) + 1501(ts)
+    #   gpt2 (.en):   eot is inside base ->  n_vocab = base + 1(sot) + ...
+    tail = num_languages + 2 + 2 + 1 + 1 + 1501
     if multilingual:
-        n_base = dims_n_vocab - (2 + num_languages + 2 + 2 + 1 + 1 + 1501)
+        n_base = dims_n_vocab - (2 + tail)
     else:
-        n_base = dims_n_vocab - (2 + 0 + 2 + 2 + 1 + 1 + 1501) - 1
+        n_base = dims_n_vocab - (1 + tail)
     vocab = None
     path = vocab_path or os.environ.get("WHISPER_VOCAB_PATH")
     if path and os.path.exists(path):

@@ -162,3 +162,13 @@ def test_median_filter():
     y = median_filter(x, 3)
     assert y.shape == x.shape
     assert y[0, 1] == 0.0  # spike removed
+
+
+def test_tokenizer_layout_english_only():
+    # gpt2 encoding: <|endoftext|> is the last base token (50256); specials
+    # start at 50257 and the model dim is 51864
+    tok = load_tokenizer("tiny.en", 51864)
+    assert tok.eot == 50256
+    assert tok.sot == 50257
+    assert tok.timestamp_begin == 50363
+    assert tok.no_speech == 50361
