@@ -30,6 +30,27 @@ from notsofar_tpu.models.whisper import WhisperModel
 NEG_INF = -1e30
 
 
+def detect_language(model: WhisperModel, variables,
+                    tokenizer: WhisperTokenizer, xa) -> List[str]:
+    """Language identification: the distribution over language tokens at the
+    position following <|startoftranscript|> (whisper detect_language; used
+    when WhisperAsrCfg.language is None, asr/asr.py:18).
+
+    xa: [B, 1500, D] encoded windows -> list of language codes.
+    """
+    import numpy as np
+    B = xa.shape[0]
+    sot = jnp.full((B, 1), tokenizer.sot, jnp.int32)
+    logits, _, _ = model.decoder.apply(variables["decoder"], sot, xa, 0, None)
+    lang_items = sorted(tokenizer.specials.languages.items(),
+                        key=lambda kv: kv[1])
+    lang_ids = jnp.asarray([i for _, i in lang_items])
+    lang_logits = logits[:, 0, :][:, lang_ids]          # [B, L]
+    best = np.asarray(jnp.argmax(lang_logits, axis=-1))
+    codes = [lang_items[int(b)][0] for b in best]
+    return codes
+
+
 def non_speech_tokens(tokenizer: WhisperTokenizer) -> List[int]:
     """Symbols suppressed during decoding (whisper's suppress_tokens='-1'):
     sound annotations, brackets, music symbols etc."""

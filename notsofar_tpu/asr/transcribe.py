@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from notsofar_tpu.asr.decoding import (DecodeOptions, GreedyDecoder,
-                                       find_word_timestamps)
+                                       detect_language, find_word_timestamps)
 from notsofar_tpu.asr.mel import (HOP_LENGTH, N_FRAMES, N_SAMPLES,
                                   SAMPLE_RATE, log_mel_spectrogram)
 from notsofar_tpu.asr.tokenizer import WhisperTokenizer
@@ -39,7 +39,7 @@ TIME_PRECISION = INPUT_STRIDE / FRAMES_PER_SECOND  # 0.02 s
 
 @dataclass
 class TranscribeOptions:
-    language: str = "en"
+    language: Optional[str] = "en"  # None -> detect on the first window
     condition_on_previous_text: bool = True
     no_speech_threshold: float = 0.6
     logprob_threshold: float = -1.0
@@ -86,6 +86,21 @@ class WhisperTranscriber:
             self._sampler = self.decoder
         import jax
         self._fallback_base_rng = jax.random.PRNGKey(42)
+        self._language_detected = options.language is not None
+
+    def _maybe_detect_language(self, xa_one):
+        """When TranscribeOptions.language is None, identify the language on
+        the first encoded window (whisper runs language ID, asr/asr.py:18)
+        and rebuild the sot sequence accordingly."""
+        if self._language_detected:
+            return
+        code = detect_language(self.model, self.variables, self.tok,
+                               xa_one)[0]
+        _LOG.info(f"detected language: {code}")
+        self.tok.language = code
+        self.tok.sot_sequence = self.tok.specials.sot_sequence(code,
+                                                               self.tok.task)
+        self._language_detected = True
 
     def _decode_with_fallback(self, xa, prompt, salt: int = 0):
         """whisper's temperature ladder: retry at increasing temperatures
@@ -143,6 +158,7 @@ class WhisperTranscriber:
             segment_frames = min(N_FRAMES, content_frames - seek)
             xa = self.model.encode(self.variables,
                                    jnp.asarray(window[None]))
+            self._maybe_detect_language(xa)
             prompt = all_tokens[prompt_reset_since:] \
                 if self.opt.condition_on_previous_text else None
             res = self._decode_with_fallback(xa, prompt, salt=seek)
@@ -224,6 +240,7 @@ class WhisperTranscriber:
                 windows[b] = mels[b][:, seeks[b]:seeks[b] + N_FRAMES]
             xa_full = self.model.encode(self.variables, jnp.asarray(windows))
             xa = xa_full[active, :, :] if len(active) != B else xa_full
+            self._maybe_detect_language(xa[0:1])
 
             if self.opt.lockstep_decode and \
                     not self.opt.condition_on_previous_text:

@@ -172,3 +172,28 @@ def test_tokenizer_layout_english_only():
     assert tok.sot == 50257
     assert tok.timestamp_begin == 50363
     assert tok.no_speech == 50361
+
+
+def test_language_detection(hf_pair):
+    from notsofar_tpu.asr.decoding import detect_language
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    rng = np.random.RandomState(5)
+    xa = jnp.asarray(rng.randn(2, 1500, 64).astype(np.float32) * 0.1)
+    codes = detect_language(jm, variables, tok, xa)
+    assert len(codes) == 2
+    assert all(c in tok.specials.languages for c in codes)
+
+
+def test_transcribe_language_none(hf_pair):
+    from notsofar_tpu.asr.transcribe import TranscribeOptions, WhisperTranscriber
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    tr = WhisperTranscriber(jm, variables, tok,
+                            TranscribeOptions(language=None,
+                                              word_timestamps=False,
+                                              max_new_tokens=8))
+    out = tr.transcribe(np.random.RandomState(6).randn(16000).astype(
+        np.float32) * 0.05)
+    assert tr._language_detected
+    assert "segments" in out
