@@ -269,14 +269,21 @@ def run_training_css(train_cfg: TrainCfg, train_dir: str, val_dir: str,
     _LOG.info(f"Model size: {n_params:,} params")
 
     total_iters = 1
-    loss_sum, num_instances = 0.0, 0
-    acc_metrics: Dict[str, float] = {}
+    num_instances = 0
+    pending_metrics: list = []  # device-side scalars; synced only at eval
     stop = False
     epoch = 0
     host_rng = np.random.RandomState(cfg.seed + 2112)
 
-    def keep_keys(d):
-        return {k: float(v) for k, v in d.items()}
+    def drain_metrics() -> Dict[str, float]:
+        """Sum the pending device metrics (single host sync)."""
+        nonlocal pending_metrics
+        out: Dict[str, float] = {}
+        for bs, m in pending_metrics:
+            for k, v in m.items():
+                out[k] = out.get(k, 0.0) + bs * float(v)
+        pending_metrics = []
+        return out
 
     while not stop:
         epoch += 1
@@ -300,13 +307,11 @@ def run_training_css(train_cfg: TrainCfg, train_dir: str, val_dir: str,
             if iter_in_epoch % 10 == 0:
                 _LOG.info(f"ep{epoch} it{iter_in_epoch}/{num_batches} "
                           f"tot_it{total_iters}: .")
-            bs = cfg.global_batch_size
-            m = keep_keys(metrics)
-            assert np.isfinite(m["loss"]), "loss is not finite!"
-            loss_sum += bs * m["loss"]
-            for k, v in m.items():
-                acc_metrics[k] = acc_metrics.get(k, 0.0) + bs * v
-            num_instances += bs
+            # metrics stay on device until the next eval boundary — forcing
+            # them to host every step would serialize the async dispatch
+            # pipeline (disk reads and transfers overlap the running step)
+            pending_metrics.append((cfg.global_batch_size, metrics))
+            num_instances += cfg.global_batch_size
 
             every = partial(_is_every, epoch=epoch,
                             iter_in_epoch=iter_in_epoch,
@@ -318,9 +323,11 @@ def run_training_css(train_cfg: TrainCfg, train_dir: str, val_dir: str,
                 stop = True
             if every(cfg.eval_every) or stop:
                 _LOG.info("Evaluating")
+                acc = drain_metrics()
+                assert np.isfinite(acc.get("loss", 0.0)), "loss is not finite!"
                 val_metrics = eval_model(eval_step, state, val_loader, mesh)
                 train_metrics = {f"train/{k}": v / max(num_instances, 1)
-                                 for k, v in acc_metrics.items()}
+                                 for k, v in acc.items()}
                 all_metrics = {**train_metrics,
                                **{f"val/{k}": v for k, v in val_metrics.items()},
                                "lr": lr,
@@ -328,7 +335,7 @@ def run_training_css(train_cfg: TrainCfg, train_dir: str, val_dir: str,
                 _LOG.info(f"ep{epoch} it{iter_in_epoch}: {all_metrics}")
                 if cfg.log_metrics_mlflow:
                     log_metrics_to_mlflow(all_metrics, step=total_iters)
-                loss_sum, num_instances, acc_metrics = 0.0, 0, {}
+                num_instances = 0
             if every(cfg.save_every) or stop:
                 path = save_checkpoint(out_dir, jax.device_get(state),
                                        scheduler_step,
