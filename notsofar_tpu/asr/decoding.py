@@ -322,6 +322,46 @@ def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.array(text_idx[::-1]), np.array(time_idx[::-1])
 
 
+PREPEND_PUNCTUATIONS = "\"'“¿([{-"
+APPEND_PUNCTUATIONS = "\"'.。,，!！?？:：”)]}、"
+
+
+def merge_punctuations(words: List[Dict],
+                       prepended: str = PREPEND_PUNCTUATIONS,
+                       appended: str = APPEND_PUNCTUATIONS) -> List[Dict]:
+    """Fold standalone punctuation 'words' into their neighbors.
+
+    Same semantics as the whisper pip package the reference transcribes
+    with (asr/asr.py:60-68; word_timestamps=True path): a leading-space
+    punctuation mark merges into the FOLLOWING word (keeping the
+    follower's times), a bare punctuation mark merges into the PRECEDING
+    word (keeping that word's times). Without this, '.'/',' tokens carry
+    their own word_timing rows into diarization.
+    """
+    ws = [dict(w) for w in words]
+    # prepended punctuation: scan backwards
+    i, j = len(ws) - 2, len(ws) - 1
+    while i >= 0:
+        prev, foll = ws[i], ws[j]
+        if prev["word"].startswith(" ") and prev["word"].strip() in prepended:
+            foll["word"] = prev["word"] + foll["word"]
+            prev["word"] = ""
+        else:
+            j = i
+        i -= 1
+    # appended punctuation: scan forwards
+    i, j = 0, 1
+    while j < len(ws):
+        prev, foll = ws[i], ws[j]
+        if not prev["word"].endswith(" ") and foll["word"] in appended:
+            prev["word"] = prev["word"] + foll["word"]
+            foll["word"] = ""
+        else:
+            i = j
+        j += 1
+    return [w for w in ws if w["word"]]
+
+
 def find_word_timestamps(model: WhisperModel, variables,
                          tokenizer: WhisperTokenizer,
                          xa_single: jnp.ndarray,
@@ -382,4 +422,4 @@ def find_word_timestamps(model: WhisperModel, variables,
         out.append(dict(word=word, start=time_offset + float(start),
                         end=time_offset + float(max(end, start))))
         pos += len(wt)
-    return out
+    return merge_punctuations(out)

@@ -45,6 +45,12 @@ class WhisperAsrCfg:
     hallucination_silence_threshold: Optional[float] = 2.0
     vocab_path: Optional[str] = None
     max_new_tokens: int = 224  # decode-step budget per 30 s window
+    # TPU extension (no reference counterpart): cross-session stream
+    # batching width for asr_batch_prepass. The per-session path batches a
+    # session's ~3 CSS streams; the prepass concatenates streams across
+    # sessions into batches of this size so encoder/decoder dispatches stay
+    # full. <=1 disables the prepass (per-session behavior only).
+    batch_streams: int = 9
 
     def text_normalizer(self):
         return get_txt_norm("chime8")
@@ -92,27 +98,18 @@ def load_whisper_model(model_name: str, models_dir: Optional[str] = None,
     return _MODEL_CACHE[key]
 
 
-def asr_inference(out_dir: str, session: pd.Series, cfg: WhisperAsrCfg,
-                  fetch_from_cache: bool,
-                  models_dir: Optional[str] = None) -> pd.DataFrame:
-    """Transcribe every separated stream of a session. Contract parity with
-    asr/asr.py:31-101."""
-    _LOG.info("Running ASR")
-    cfg.assert_valid()
-
-    wav_files = session.sep_wav_file_names
-    assert isinstance(wav_files, list)
-
-    out_file = Path(out_dir) / "asr" / session.session_id / cfg.model_name \
+def _asr_cache_path(out_dir: str, session: pd.Series,
+                    cfg: WhisperAsrCfg) -> Path:
+    return Path(out_dir) / "asr" / session.session_id / cfg.model_name \
         / "all_segments_df.pkl"
-    if fetch_from_cache and out_file.exists():
-        _LOG.info(f"Loading ASR results from {out_file}")
-        return pd.read_pickle(out_file)
 
+
+def _make_transcriber(cfg: WhisperAsrCfg,
+                      models_dir: Optional[str]) -> "WhisperTranscriber":
     model, variables, tokenizer = load_whisper_model(
         cfg.model_name, models_dir, cfg.vocab_path,
         language=cfg.language or "en")
-    transcriber = WhisperTranscriber(
+    return WhisperTranscriber(
         model, variables, tokenizer,
         TranscribeOptions(
             language=cfg.language or "en",
@@ -121,17 +118,15 @@ def asr_inference(out_dir: str, session: pd.Series, cfg: WhisperAsrCfg,
             max_new_tokens=cfg.max_new_tokens,
             beam_size=cfg.beam_size))
 
-    _LOG.info(f"Running ASR on {len(wav_files)} streams (batched)")
-    wavs = []
-    for wav_file in wav_files:
-        wav, sr = read_wav_scaled(str(wav_file))
-        if wav.ndim > 1:
-            wav = wav[:, 0]
-        wavs.append(wav)
-    if hasattr(transcriber, "transcribe_batch"):
-        results_per_stream = transcriber.transcribe_batch(wavs)
-    else:  # test stubs provide only transcribe()
-        results_per_stream = [transcriber.transcribe(w) for w in wavs]
+
+def _read_stream(wav_file) -> np.ndarray:
+    wav, _ = read_wav_scaled(str(wav_file))
+    return wav[:, 0] if wav.ndim > 1 else wav
+
+
+def _results_to_df(session: pd.Series, wav_files: list,
+                   results_per_stream: list) -> pd.DataFrame:
+    """Build the per-session segments dataframe (asr/asr.py:75-98 layout)."""
     segments_dfs = []
     for wav_file, results in zip(wav_files, results_per_stream):
         if len(results["segments"]) == 0:
@@ -157,6 +152,81 @@ def asr_inference(out_dir: str, session: pd.Series, cfg: WhisperAsrCfg,
         all_segments_df["meeting_id"] = [session.meeting_id][:0]
     else:
         all_segments_df = pd.concat(segments_dfs, ignore_index=True)
+    return all_segments_df
+
+
+def asr_batch_prepass(out_dir: str, sessions: list, cfg: WhisperAsrCfg,
+                      fetch_from_cache: bool,
+                      models_dir: Optional[str] = None) -> None:
+    """Transcribe all sessions' separated streams in cross-session batches.
+
+    TPU front-end with no reference counterpart (the reference loops
+    sessions serially, asr/asr.py:31-101 via inference_pipeline.py). The
+    per-session asr_inference path batches one session's ~3 CSS streams;
+    here the streams of MANY sessions are flattened and sliced into
+    batches of cfg.batch_streams, so every encoder/decoder dispatch is
+    full even at the tail of a session. Results land in the standard
+    per-session pickle cache which asr_inference then reads.
+    """
+    cfg.assert_valid()
+    todo = [s for s in sessions
+            if not (fetch_from_cache
+                    and _asr_cache_path(out_dir, s, cfg).exists())]
+    if not todo:
+        return
+    transcriber = _make_transcriber(cfg, models_dir)
+
+    flat_wavs, owner = [], []  # owner[i] = index into todo
+    for si, session in enumerate(todo):
+        assert isinstance(session.sep_wav_file_names, list)
+        for wav_file in session.sep_wav_file_names:
+            flat_wavs.append(_read_stream(wav_file))
+            owner.append(si)
+    _LOG.info(f"ASR prepass: {len(flat_wavs)} streams across {len(todo)} "
+              f"sessions, batch width {cfg.batch_streams}")
+
+    results = []
+    if hasattr(transcriber, "transcribe_batch"):
+        bs = max(1, cfg.batch_streams)
+        for i in range(0, len(flat_wavs), bs):
+            results.extend(transcriber.transcribe_batch(flat_wavs[i:i + bs]))
+    else:  # test stubs provide only transcribe()
+        results = [transcriber.transcribe(w) for w in flat_wavs]
+
+    for si, session in enumerate(todo):
+        res = [r for r, o in zip(results, owner) if o == si]
+        df = _results_to_df(session, session.sep_wav_file_names, res)
+        out_file = _asr_cache_path(out_dir, session, cfg)
+        out_file.parent.mkdir(parents=True, exist_ok=True)
+        df.to_pickle(out_file)
+        _LOG.info(f"ASR prepass results saved to {out_file}")
+
+
+def asr_inference(out_dir: str, session: pd.Series, cfg: WhisperAsrCfg,
+                  fetch_from_cache: bool,
+                  models_dir: Optional[str] = None) -> pd.DataFrame:
+    """Transcribe every separated stream of a session. Contract parity with
+    asr/asr.py:31-101."""
+    _LOG.info("Running ASR")
+    cfg.assert_valid()
+
+    wav_files = session.sep_wav_file_names
+    assert isinstance(wav_files, list)
+
+    out_file = _asr_cache_path(out_dir, session, cfg)
+    if fetch_from_cache and out_file.exists():
+        _LOG.info(f"Loading ASR results from {out_file}")
+        return pd.read_pickle(out_file)
+
+    transcriber = _make_transcriber(cfg, models_dir)
+
+    _LOG.info(f"Running ASR on {len(wav_files)} streams (batched)")
+    wavs = [_read_stream(w) for w in wav_files]
+    if hasattr(transcriber, "transcribe_batch"):
+        results_per_stream = transcriber.transcribe_batch(wavs)
+    else:  # test stubs provide only transcribe()
+        results_per_stream = [transcriber.transcribe(w) for w in wavs]
+    all_segments_df = _results_to_df(session, wav_files, results_per_stream)
 
     out_file.parent.mkdir(parents=True, exist_ok=True)
     all_segments_df.to_pickle(out_file)

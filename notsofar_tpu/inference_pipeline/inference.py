@@ -64,14 +64,32 @@ def inference_pipeline(meetings_dir: str, models_dir: str, out_dir: str,
                           cfg.css, cache.css)
         css_cache = True
 
+    # ASR prepass: flatten every session's separated streams into
+    # cross-session batches so encoder/decoder dispatches stay full (the
+    # per-session path only sees ~3 streams at a time). CSS runs first here
+    # (cache-hit cheap when the CSS prepass above already ran); the main
+    # loop then reuses the enriched sessions and the ASR cache.
+    asr_cache = cache.asr
+    enriched: dict = {}
+    if cfg.asr.batch_streams > 1:
+        from notsofar_tpu.asr.inference import asr_batch_prepass
+        enriched = {pos: css_inference(out_dir, models_dir,
+                                       all_session_df.iloc[pos], cfg.css,
+                                       css_cache)
+                    for pos in my_rows}
+        asr_batch_prepass(out_dir, list(enriched.values()), cfg.asr,
+                          cache.asr, models_dir=models_dir)
+        asr_cache = True
+
     wer_dfs, hyp_jsons = [], []
     for pos in my_rows:
-        session = all_session_df.iloc[pos]
-        _LOG.info(f"Processing session: {session.session_id}")
+        _LOG.info(f"Processing session: "
+                  f"{all_session_df.iloc[pos].session_id}")
 
-        session = css_inference(out_dir, models_dir, session, cfg.css,
-                                css_cache)
-        segments_df = asr_inference(out_dir, session, cfg.asr, cache.asr,
+        session = enriched[pos] if pos in enriched else css_inference(
+            out_dir, models_dir, all_session_df.iloc[pos], cfg.css,
+            css_cache)
+        segments_df = asr_inference(out_dir, session, cfg.asr, asr_cache,
                                     models_dir=models_dir)
         attributed_segments_df = diarization_inference(
             out_dir, segments_df, cfg.diarization, cache.diarization)

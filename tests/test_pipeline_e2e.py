@@ -172,6 +172,41 @@ def make_second_meeting(meetings_dir: Path, meeting_id="MTG_9002", seconds=5):
     return make_meeting(meetings_dir, meeting_id=meeting_id, seconds=seconds)
 
 
+def test_asr_batch_prepass_unit(tmp_path, monkeypatch):
+    """Direct prepass contract: per-session caches written with correct
+    stream attribution, cached sessions skipped, order preserved."""
+    import notsofar_tpu.asr.inference as asr_mod
+    from notsofar_tpu.asr.inference import (WhisperAsrCfg, asr_batch_prepass,
+                                            asr_inference)
+    monkeypatch.setattr(asr_mod, "WhisperTranscriber", StubTranscriber)
+    StubTranscriber.calls = 0
+
+    sessions = []
+    for k in range(2):
+        wavs = []
+        for j in range(3):
+            p = tmp_path / f"s{k}_stream{j}.wav"
+            write_wav(p, np.zeros(FS, np.float32), FS, max_norm=False)
+            wavs.append(str(p))
+        sessions.append(pd.Series(dict(
+            meeting_id=f"M{k}", session_id=f"singlechannel/M{k}_sc0",
+            sep_wav_file_names=wavs)))
+
+    cfg = WhisperAsrCfg(model_name="tiny", batch_streams=4)
+    out_dir = tmp_path / "out"
+    asr_batch_prepass(str(out_dir), sessions, cfg, fetch_from_cache=False)
+    assert StubTranscriber.calls == 6
+    for k, session in enumerate(sessions):
+        df = asr_inference(str(out_dir), session, cfg, fetch_from_cache=True)
+        # stub emits text only on each session's stream 0
+        assert set(df.wav_file_name) == {session.sep_wav_file_names[0]}
+        assert (df.session_id == session.session_id).all()
+
+    # second prepass with cache on: nothing re-transcribed
+    asr_batch_prepass(str(out_dir), sessions, cfg, fetch_from_cache=True)
+    assert StubTranscriber.calls == 6
+
+
 def test_batched_css_prepass(tmp_path, monkeypatch):
     """Two sessions separated through the batched prepass must flow through
     the standard per-session loop via the cache layout."""
@@ -196,4 +231,7 @@ def test_batched_css_prepass(tmp_path, monkeypatch):
                                 cfg, FetchFromCacheCfg())
     for sid in ["singlechannel/MTG_9001_sc0", "singlechannel/MTG_9002_sc0"]:
         assert sorted((out_dir / "css_inference" / sid).glob("sep_stream*.wav"))
+        # ASR prepass (batch_streams default > 1) wrote the standard cache
+        assert (out_dir / "asr" / sid / "tiny" / "all_segments_df.pkl").exists()
+    assert StubTranscriber.calls == 6  # 2 sessions x 3 streams, once each
     assert wer_df is not None and len(wer_df) == 2

@@ -156,6 +156,25 @@ def test_dtw_path_monotonic():
     assert (np.diff(ti) >= 0).all() and (np.diff(tj) >= 0).all()
 
 
+def test_merge_punctuations():
+    from notsofar_tpu.asr.decoding import merge_punctuations
+    words = [dict(word=" ¿", start=0.0, end=0.1),
+             dict(word="Qué", start=0.1, end=0.5),
+             dict(word=" tal", start=0.5, end=0.9),
+             dict(word="?", start=0.9, end=1.0),
+             dict(word=" bien", start=1.2, end=1.6),
+             dict(word=".", start=1.6, end=1.7)]
+    out = merge_punctuations(words)
+    assert [w["word"] for w in out] == [" ¿Qué", " tal?", " bien."]
+    # prepended merge keeps the follower's times; appended keeps the word's
+    assert out[0]["start"] == 0.1 and out[0]["end"] == 0.5
+    assert out[1]["start"] == 0.5 and out[1]["end"] == 0.9
+    # non-punctuation untouched
+    same = merge_punctuations([dict(word=" a", start=0, end=1),
+                               dict(word=" b", start=1, end=2)])
+    assert [w["word"] for w in same] == [" a", " b"]
+
+
 def test_median_filter():
     from notsofar_tpu.asr.decoding import median_filter
     x = np.array([[0.0, 10.0, 0.0, 0.0, 0.0, 10.0, 0.0]])
