@@ -182,3 +182,112 @@ def test_calc_wer_visualization(tmp_path):
     assert viz.exists()
     txt = viz.read_text()
     assert "<svg" in txt and "tcpWER alignment" in txt
+
+
+def _tcorc_exact_errors(ref, hyp, collar=5.0):
+    """Brute force over all stream assignments (test oracle, S^U)."""
+    import itertools
+    from notsofar_tpu.utils.scoring.tcpwer import (Vocab, _concat_seqs,
+                                                   _speaker_word_seqs,
+                                                   _tclev, _utterances)
+    vocab = Vocab()
+    streams = _speaker_word_seqs(hyp, vocab)
+    stream_ids = sorted(streams)
+    utts = _utterances(ref, vocab)
+    best = None
+    for assign in itertools.product(range(len(stream_ids)), repeat=len(utts)):
+        tot = 0
+        for si, sid in enumerate(stream_ids):
+            refcat = _concat_seqs(
+                [u.seq for u, s in zip(utts, assign) if s == si])
+            tot += _tclev(refcat, streams[sid], collar).errors
+        if best is None or tot < best:
+            best = tot
+    return best
+
+
+def test_tcorc_matches_exact_on_small_instances():
+    """The local-search assignment must hit the brute-force optimum on
+    randomized small sessions (certifies the upper bound is tight there)."""
+    rng = np.random.RandomState(7)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+    mismatches = []
+    for case in range(30):
+        S = int(rng.randint(2, 4))
+        U = int(rng.randint(2, 6))
+        ref_segs, hyp_segs = [], {f"st{j}": [] for j in range(S)}
+        t = 0.0
+        for u in range(U):
+            t += float(rng.rand() * 3)
+            dur = 1.0 + float(rng.rand() * 2)
+            n = int(rng.randint(1, 4))
+            ws = [words[rng.randint(len(words))] for _ in range(n)]
+            ref_segs.append(_seg("s", f"spk{u % 3}", t, t + dur, " ".join(ws)))
+            # noisy copy on a random stream
+            hw = [w for w in ws if rng.rand() > 0.15]  # deletions
+            if rng.rand() < 0.3:
+                hw.append(words[rng.randint(len(words))])  # insertion
+            if hw:
+                j = int(rng.randint(S))
+                jit = float(rng.rand() * 0.5)
+                hyp_segs[f"st{j}"].append(
+                    _seg("s", f"st{j}", t + jit, t + dur + jit, " ".join(hw)))
+            t += dur
+        ref = SegLst(ref_segs)
+        hyp = SegLst([g for segs in hyp_segs.values() for g in segs])
+        got = tcorc_wer(ref, hyp, collar=5)["errors"]
+        exact = _tcorc_exact_errors(ref, hyp, collar=5)
+        if got != exact:
+            mismatches.append((case, got, exact))
+    assert not mismatches, f"descent not optimal on: {mismatches}"
+
+
+def test_tcorc_matches_exact_adversarial():
+    """Two-word vocabulary + heavily overlapping utterances: the regime
+    where greedy/single-move search gets stuck in local minima. The pair-
+    and triple-move escalation with multi-start must reach the optimum."""
+    rng = np.random.RandomState(11)
+    words = ["a", "b"]
+    mismatches = []
+    for case in range(40):
+        S = int(rng.randint(2, 4))
+        U = int(rng.randint(3, 7))
+        ref_segs, hyp = [], []
+        t = 0.0
+        for u in range(U):
+            t += float(rng.rand() * 1.0)
+            dur = 1.0 + float(rng.rand() * 2)
+            ws = [words[rng.randint(2)] for _ in range(rng.randint(1, 4))]
+            ref_segs.append(_seg("s", f"spk{u % 3}", t, t + dur,
+                                 " ".join(ws)))
+            hw = [w for w in ws if rng.rand() > 0.3]
+            if rng.rand() < 0.5:
+                hw.append(words[rng.randint(2)])
+            if hw:
+                j = int(rng.randint(S))
+                jit = float(rng.rand() * 1.5)
+                hyp.append(_seg("s", f"st{j}", t + jit, t + dur + jit,
+                                " ".join(hw)))
+            t += dur * 0.4
+        got = tcorc_wer(SegLst(ref_segs), SegLst(hyp), collar=5)["errors"]
+        exact = _tcorc_exact_errors(SegLst(ref_segs), SegLst(hyp), collar=5)
+        if got != exact:
+            mismatches.append((case, got, exact))
+    assert not mismatches, f"descent not optimal on: {mismatches}"
+
+
+def test_scoring_cli(tmp_path, capsys):
+    import json
+    from notsofar_tpu.utils.scoring.__main__ import main
+    ref = [dict(session_id="s1", speaker="A", start_time=0.0, end_time=2.0,
+                words="twenty five dollars")]
+    hyp = [dict(session_id="s1", speaker="0", start_time=0.1, end_time=2.1,
+                words="$25")]
+    rp, hp = tmp_path / "ref.json", tmp_path / "hyp.json"
+    rp.write_text(json.dumps(ref)); hp.write_text(json.dumps(hyp))
+    main(["tcpwer", "-r", str(rp), "-H", str(hp)])
+    out = json.loads(capsys.readouterr().out)
+    assert out["errors"] == 0  # chime8 normalization unifies both sides
+    main(["tcorcwer", "-r", str(rp), "-H", str(hp), "--normalizer", "none"])
+    out = json.loads(capsys.readouterr().out)
+    assert out["errors"] > 0
