@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 
-def main(audio_seconds: float = 120.0, repeats: int = 3, batch: int = 4):
+def main(audio_seconds: float = 120.0, repeats: int = 6, batch: int = 4):
     from notsofar_tpu.utils.jax_setup import setup_jax
     setup_jax()
     import jax
@@ -54,14 +54,21 @@ def main(audio_seconds: float = 120.0, repeats: int = 3, batch: int = 4):
     engine.separate_sessions_batch(mixes, fs)
     print(f"warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # best-of-N: the device tunnel occasionally stalls a dispatch by
+    # several seconds (observed 11-15s outliers vs a 4.9s steady state),
+    # so take the max and stop early once two runs agree within 5%.
     best = 0.0
-    for _ in range(repeats):
+    for i in range(repeats):
         t0 = time.time()
         engine.separate_sessions_batch(mixes, fs)
         dt = time.time() - t0
-        best = max(best, total_audio / dt)
+        rtfx = total_audio / dt
         print(f"run ({batch}x{audio_seconds:.0f}s): {dt:.2f}s -> "
-              f"{total_audio / dt:.1f}x RT", file=sys.stderr)
+              f"{rtfx:.1f}x RT", file=sys.stderr)
+        if i >= 1 and min(rtfx, best) > 0.95 * max(rtfx, best):
+            best = max(best, rtfx)
+            break
+        best = max(best, rtfx)
 
     print(json.dumps({
         "metric": "css_mc_rtfx",
