@@ -322,6 +322,35 @@ def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return np.array(text_idx[::-1]), np.array(time_idx[::-1])
 
 
+def decode_alignment_heads(blob: str, n_text_layer: int,
+                           n_text_head: int) -> List[Tuple[int, int]]:
+    """Decode whisper's compact alignment-heads mask.
+
+    The whisper pip package the reference uses ships a per-model base85-
+    encoded gzipped [n_text_layer, n_text_head] boolean mask selecting the
+    cross-attention heads whose maps are reliable for DTW word alignment.
+    Returns the selected (layer, head) pairs.
+    """
+    import base64
+    import gzip
+    arr = np.frombuffer(gzip.decompress(base64.b85decode(blob)),
+                        dtype=bool).copy()
+    arr = arr.reshape(n_text_layer, n_text_head)
+    ls, hs = np.nonzero(arr)
+    return list(zip(ls.tolist(), hs.tolist()))
+
+
+def encode_alignment_heads(pairs: List[Tuple[int, int]], n_text_layer: int,
+                           n_text_head: int) -> str:
+    """Inverse of decode_alignment_heads (for tests / sidecar authoring)."""
+    import base64
+    import gzip
+    arr = np.zeros((n_text_layer, n_text_head), bool)
+    for l, h in pairs:
+        arr[l, h] = True
+    return base64.b85encode(gzip.compress(arr.tobytes())).decode()
+
+
 PREPEND_PUNCTUATIONS = "\"'“¿([{-"
 APPEND_PUNCTUATIONS = "\"'.。,，!！?？:：”)]}、"
 
@@ -368,15 +397,22 @@ def find_word_timestamps(model: WhisperModel, variables,
                          text_tokens: List[int],
                          num_frames: int,
                          time_offset: float = 0.0,
-                         alignment_layers: Optional[List[int]] = None
-                         ) -> List[Dict]:
+                         alignment_layers: Optional[List[int]] = None,
+                         alignment_heads: Optional[List[Tuple[int, int]]]
+                         = None) -> List[Dict]:
     """Teacher-forced pass + DTW -> [{'word','start','end'} ...].
 
     xa_single: [1, 1500, D] for one window; text_tokens: decoded tokens
     (without sot/eot); num_frames: valid mel frames (content length / 2).
+    alignment_heads: optional per-model (layer, head) selection (whisper
+    ships one per checkpoint; see decode_alignment_heads). When absent,
+    all heads of the last half of the layers are used (whisper's own
+    default for models without a mask).
     """
     d = model.dims
-    if alignment_layers is None:
+    if alignment_heads:
+        alignment_layers = sorted({l for l, _ in alignment_heads})
+    elif alignment_layers is None:
         alignment_layers = list(range(d.n_text_layer // 2, d.n_text_layer))
     full = tokenizer.sot_sequence + [tokenizer.no_timestamps] + \
         list(text_tokens) + [tokenizer.eot]
@@ -384,8 +420,13 @@ def find_word_timestamps(model: WhisperModel, variables,
     _, _, cross = model.decoder.apply(
         variables["decoder"], toks, xa_single, 0, None,
         return_cross_attn=True)
-    # stack selected layers: list of [1, H, T, 1500]
-    w = np.concatenate([np.asarray(cross[i]) for i in alignment_layers], axis=1)[0]
+    # stack selected heads (or whole layers): cross[i] is [1, H, T, 1500]
+    if alignment_heads:
+        w = np.stack([np.asarray(cross[l])[0, h]
+                      for l, h in alignment_heads])
+    else:
+        w = np.concatenate([np.asarray(cross[i])
+                            for i in alignment_layers], axis=1)[0]
     w = w[:, :, : num_frames // 2]          # [H*, T, frames]
     # normalize across time like whisper: softmax already applied; z-norm
     std = w.std(axis=-2, keepdims=True) + 1e-9

@@ -61,14 +61,36 @@ class WhisperAsrCfg:
                                    "large-v1", "large-v2", "large-v3", "large"]
 
 
-_MODEL_CACHE: Dict[str, Tuple[WhisperModel, dict, WhisperTokenizer]] = {}
+_MODEL_CACHE: Dict[str, Tuple[WhisperModel, dict, WhisperTokenizer,
+                              Optional[list]]] = {}
+
+
+def _load_alignment_heads(ckpt: Path, dims) -> Optional[list]:
+    """Optional `<ckpt stem>.alignment_heads.json` sidecar: either a list
+    of [layer, head] pairs or {"blob": "<base85 gzip mask>"} in the format
+    the whisper pip package hardcodes per model."""
+    import json
+    side = ckpt.with_suffix(".alignment_heads.json")
+    if not side.exists():
+        return None
+    data = json.loads(side.read_text())
+    if isinstance(data, dict) and "blob" in data:
+        from notsofar_tpu.asr.decoding import decode_alignment_heads
+        heads = decode_alignment_heads(data["blob"], dims.n_text_layer,
+                                       dims.n_text_head)
+    else:
+        heads = [(int(l), int(h)) for l, h in data]
+    _LOG.info(f"Loaded {len(heads)} alignment heads from {side}")
+    return heads
 
 
 def load_whisper_model(model_name: str, models_dir: Optional[str] = None,
                        vocab_path: Optional[str] = None,
                        language: str = "en"
-                       ) -> Tuple[WhisperModel, dict, WhisperTokenizer]:
-    """Load (model, variables, tokenizer); cached per model name."""
+                       ) -> Tuple[WhisperModel, dict, WhisperTokenizer,
+                                  Optional[list]]:
+    """Load (model, variables, tokenizer, alignment_heads); cached per
+    model name."""
     key = f"{models_dir}/{model_name}"
     if key in _MODEL_CACHE:
         return _MODEL_CACHE[key]
@@ -79,11 +101,13 @@ def load_whisper_model(model_name: str, models_dir: Optional[str] = None,
             if cand.exists():
                 ckpt = cand
                 break
+    alignment_heads = None
     if ckpt is not None:
         _LOG.info(f"Loading Whisper checkpoint: {ckpt}")
         variables, dims = load_openai_whisper_checkpoint(ckpt)
         model = WhisperModel(dims)
         variables = jax.tree_util.tree_map(np.asarray, variables)
+        alignment_heads = _load_alignment_heads(ckpt, dims)
     else:
         dims = WHISPER_DIMS[model_name]
         _LOG.warning(
@@ -94,7 +118,7 @@ def load_whisper_model(model_name: str, models_dir: Optional[str] = None,
         variables = model.init(jax.random.PRNGKey(0))
     tokenizer = load_tokenizer(model_name, dims.n_vocab,
                                vocab_path=vocab_path, language=language)
-    _MODEL_CACHE[key] = (model, variables, tokenizer)
+    _MODEL_CACHE[key] = (model, variables, tokenizer, alignment_heads)
     return _MODEL_CACHE[key]
 
 
@@ -106,7 +130,7 @@ def _asr_cache_path(out_dir: str, session: pd.Series,
 
 def _make_transcriber(cfg: WhisperAsrCfg,
                       models_dir: Optional[str]) -> "WhisperTranscriber":
-    model, variables, tokenizer = load_whisper_model(
+    model, variables, tokenizer, alignment_heads = load_whisper_model(
         cfg.model_name, models_dir, cfg.vocab_path,
         language=cfg.language or "en")
     return WhisperTranscriber(
@@ -116,7 +140,8 @@ def _make_transcriber(cfg: WhisperAsrCfg,
             word_timestamps=cfg.word_level_time_stamps,
             hallucination_silence_threshold=cfg.hallucination_silence_threshold,
             max_new_tokens=cfg.max_new_tokens,
-            beam_size=cfg.beam_size))
+            beam_size=cfg.beam_size,
+            alignment_heads=alignment_heads))
 
 
 def _read_stream(wav_file) -> np.ndarray:

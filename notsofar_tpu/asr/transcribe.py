@@ -49,6 +49,10 @@ class TranscribeOptions:
     hallucination_silence_threshold: Optional[float] = 2.0
     max_new_tokens: int = 224
     beam_size: Optional[int] = None  # None/1 = greedy; 5 in the shipped cfg
+    # Per-model cross-attention head selection for word-timestamp DTW
+    # ((layer, head) pairs; see decoding.decode_alignment_heads). None ->
+    # whisper's fallback of all heads in the last half of the layers.
+    alignment_heads: Optional[list] = None
     # Throughput mode: decode all active streams in ONE scan per iteration.
     # Requires condition_on_previous_text=False (prompts must be identical
     # across the batch); amortizes the memory-bound decoder weight reads
@@ -190,7 +194,8 @@ class WhisperTranscriber:
                 words = find_word_timestamps(
                     self.model, self.variables, self.tok, xa,
                     [t for t in tokens if t < self.tok.eot],
-                    num_frames=segment_frames, time_offset=time_offset)
+                    num_frames=segment_frames, time_offset=time_offset,
+                    alignment_heads=self.opt.alignment_heads)
                 _distribute_words(new_segments, words)
 
             segments.extend(new_segments)
@@ -303,7 +308,8 @@ class WhisperTranscriber:
             words = find_word_timestamps(
                 self.model, self.variables, self.tok, xa_b,
                 [t for t in tokens if t < self.tok.eot],
-                num_frames=seg_frames, time_offset=time_offset)
+                num_frames=seg_frames, time_offset=time_offset,
+                alignment_heads=self.opt.alignment_heads)
             _distribute_words(new_segments, words)
         segments[b].extend(new_segments)
         all_tokens[b].extend(t for t in tokens if t < self.tok.eot)

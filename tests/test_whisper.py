@@ -216,3 +216,100 @@ def test_transcribe_language_none(hf_pair):
         np.float32) * 0.05)
     assert tr._language_detected
     assert "segments" in out
+
+
+def test_alignment_heads_blob_roundtrip():
+    from notsofar_tpu.asr.decoding import (decode_alignment_heads,
+                                           encode_alignment_heads)
+    pairs = [(0, 1), (1, 0), (1, 3)]
+    blob = encode_alignment_heads(pairs, n_text_layer=2, n_text_head=4)
+    assert decode_alignment_heads(blob, 2, 4) == pairs
+
+
+def test_word_timestamps_with_alignment_heads(hf_pair):
+    from notsofar_tpu.asr.transcribe import TranscribeOptions, WhisperTranscriber
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    tr = WhisperTranscriber(jm, variables, tok,
+                            TranscribeOptions(word_timestamps=True,
+                                              alignment_heads=[(0, 1), (1, 2)],
+                                              max_new_tokens=12))
+    audio = (np.random.RandomState(8).randn(16000) * 0.05).astype(np.float32)
+    out = tr.transcribe(audio)
+    for seg in out["segments"]:
+        for w in seg["words"]:
+            assert w["end"] >= w["start"] >= 0
+
+
+def test_loader_alignment_heads_sidecar(tmp_path):
+    import json
+    from notsofar_tpu.asr.inference import _load_alignment_heads
+    ckpt = tmp_path / "tiny.pt"
+    ckpt.write_bytes(b"")
+    side = tmp_path / "tiny.alignment_heads.json"
+    side.write_text(json.dumps([[2, 3], [3, 0]]))
+    heads = _load_alignment_heads(ckpt, MINI)
+    assert heads == [(2, 3), (3, 0)]
+    from notsofar_tpu.asr.decoding import encode_alignment_heads
+    side.write_text(json.dumps(dict(blob=encode_alignment_heads(
+        [(0, 2)], MINI.n_text_layer, MINI.n_text_head))))
+    assert _load_alignment_heads(ckpt, MINI) == [(0, 2)]
+    assert _load_alignment_heads(tmp_path / "other.pt", MINI) is None
+
+
+def hf_to_openai_sd(hf) -> dict:
+    """Rename an HF WhisperModel state dict into openai-whisper layout
+    (test fixture for the openai checkpoint loader)."""
+    import re
+    out = {}
+    for k, v in hf.state_dict().items():
+        k = (k.replace(".layers.", ".blocks.")
+              .replace("self_attn_layer_norm", "attn_ln")
+              .replace("encoder_attn_layer_norm", "cross_attn_ln")
+              .replace("final_layer_norm", "mlp_ln")
+              .replace("self_attn.", "attn.")
+              .replace("encoder_attn.", "cross_attn.")
+              .replace("q_proj", "query").replace("k_proj", "key")
+              .replace("v_proj", "value").replace("out_proj", "out")
+              .replace(".fc1.", ".mlp.0.").replace(".fc2.", ".mlp.2."))
+        if k == "encoder.layer_norm.weight":
+            k = "encoder.ln_post.weight"
+        elif k == "encoder.layer_norm.bias":
+            k = "encoder.ln_post.bias"
+        elif k == "decoder.layer_norm.weight":
+            k = "decoder.ln.weight"
+        elif k == "decoder.layer_norm.bias":
+            k = "decoder.ln.bias"
+        elif k == "decoder.embed_tokens.weight":
+            k = "decoder.token_embedding.weight"
+        elif k == "decoder.embed_positions.weight":
+            k = "decoder.positional_embedding"
+        elif k == "encoder.embed_positions.weight":
+            k = "encoder.positional_embedding"
+        out[k] = v
+    return out
+
+
+def write_openai_ckpt(path, hf):
+    import dataclasses
+    import torch
+    torch.save(dict(dims=dataclasses.asdict(MINI),
+                    model_state_dict=hf_to_openai_sd(hf)), str(path))
+
+
+def test_openai_checkpoint_loader(tmp_path, hf_pair):
+    """load_openai_whisper_checkpoint must produce the same variables as
+    the (HF-verified) HF converter for identical weights."""
+    from notsofar_tpu.models.whisper import load_openai_whisper_checkpoint
+    hf, jm, hf_variables = hf_pair
+    ckpt = tmp_path / "mini.pt"
+    write_openai_ckpt(ckpt, hf)
+    variables, dims = load_openai_whisper_checkpoint(ckpt)
+    assert dims == MINI
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(
+        jax.tree_util.tree_map(np.asarray, hf_variables)))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(leaf, flat_b[path],
+                                      err_msg=str(path))
