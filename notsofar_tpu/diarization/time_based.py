@@ -152,9 +152,42 @@ def assign_words_to_speakers(segments_df: pd.DataFrame, spk_vad: np.ndarray,
                                        apply_deduplication)
 
 
+_VAD_CACHE: dict = {}
+
+
+def resolve_frame_vad(cfg: DiarizationCfg) -> Optional[Callable]:
+    """Load the MarbleNet frame VAD named by cfg.vad_model_name under
+    NOTSOFAR_MODELS_DIR (or an absolute path). Returns None when no
+    checkpoint is mounted — diarize_streams then falls back to the energy
+    VAD (the reference's recipe loads NeMo's vad_multilingual_marblenet,
+    time_based_diarization.py:20-117)."""
+    import os
+    name = cfg.vad_model_name
+    if not name:
+        return None
+    if name in _VAD_CACHE:
+        return _VAD_CACHE[name]
+    candidates = []
+    if os.path.isabs(name):
+        candidates.append(name)
+    root = os.environ.get("NOTSOFAR_MODELS_DIR")
+    if root:
+        candidates += [os.path.join(root, f"{name}.nemo"),
+                       os.path.join(root, name)]
+    for cand in candidates:
+        if os.path.exists(cand):
+            from notsofar_tpu.models.marblenet import FrameVAD
+            _LOG.info(f"loading frame VAD from {cand}")
+            _VAD_CACHE[name] = FrameVAD.from_checkpoint(cand)
+            return _VAD_CACHE[name]
+    _LOG.info(f"VAD model '{name}' not mounted — using the energy VAD")
+    _VAD_CACHE[name] = None
+    return None
+
+
 def time_based_diarization(wav_files_sorted, segments_df: pd.DataFrame,
                            output_dir: str, cfg: DiarizationCfg,
-                           encoder=None) -> pd.DataFrame:
+                           encoder=None, vad_fn=None) -> pd.DataFrame:
     """Native equivalent of the NeMo nmesc recipe dispatch
     (time_based_diarization.py:163-174)."""
     srs_wavs = [read_wav(f, normalize=True, return_rate=True)
@@ -164,6 +197,8 @@ def time_based_diarization(wav_files_sorted, segments_df: pd.DataFrame,
     if encoder is None:
         from notsofar_tpu.diarization.word_based import resolve_speaker_encoder
         encoder = resolve_speaker_encoder(cfg)
-    spk_vad = diarize_streams(wavs, sr, encoder)
+    if vad_fn is None:
+        vad_fn = resolve_frame_vad(cfg)
+    spk_vad = diarize_streams(wavs, sr, encoder, vad_fn=vad_fn)
     return assign_words_to_speakers(segments_df, spk_vad,
                                     cfg.apply_deduplication)
