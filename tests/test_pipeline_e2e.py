@@ -235,3 +235,31 @@ def test_batched_css_prepass(tmp_path, monkeypatch):
         assert (out_dir / "asr" / sid / "tiny" / "all_segments_df.pkl").exists()
     assert StubTranscriber.calls == 6  # 2 sessions x 3 streams, once each
     assert wer_df is not None and len(wer_df) == 2
+
+
+def test_separate_cli(tmp_path, monkeypatch, capsys):
+    """Standalone separation CLI: one SC wav in -> 3 stream wavs out."""
+    import sys
+    from notsofar_tpu.css.separate_cli import main as cli_main
+    from notsofar_tpu.utils.audio import read_wav
+
+    models_dir = tmp_path / "models"
+    make_sc_css_model(models_dir)
+    rng = np.random.RandomState(0)
+    t = np.arange(FS * 2) / FS
+    wav = (0.3 * np.sin(2 * np.pi * 330 * t)
+           + 0.05 * rng.randn(len(t))).astype(np.float32)
+    from notsofar_tpu.utils.audio import write_wav
+    write_wav(tmp_path / "mix.wav", wav, FS, max_norm=False)
+
+    out_dir = tmp_path / "sep"
+    monkeypatch.setattr(sys, "argv", [
+        "separate_cli", "--model",
+        str(models_dir / "notsofar/conformer1.0/sc"),
+        "--input", str(tmp_path / "mix.wav"), "--out-dir", str(out_dir)])
+    cli_main()
+    outs = sorted(out_dir.glob("mix_spk*.wav"))
+    assert len(outs) == 3
+    for p in outs:
+        w = read_wav(p)
+        assert len(w) > 0 and np.isfinite(w).all()
