@@ -197,7 +197,11 @@ class GreedyDecoder:
                                       ).astype(jnp.int32)
             else:
                 next_tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
-            lp = jax.nn.log_softmax(cur_logits, axis=-1)
+            # score from the post-filter renormalized distribution, matching
+            # whisper (and this repo's beam path) — scoring pre-filter logits
+            # would depress avg_logprob on forced-timestamp/suppressed steps
+            # and trigger spurious temperature fallbacks
+            lp = jax.nn.log_softmax(lg, axis=-1)
             tok_lp = jnp.take_along_axis(lp, next_tok[:, None], 1)[:, 0]
             next_tok = jnp.where(finished, self._eot, next_tok)
             is_eot = next_tok == self._eot

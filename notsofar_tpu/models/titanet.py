@@ -42,12 +42,18 @@ class TitaNetConfig:
 
 
 def titanet_features(audio: jnp.ndarray, sr: int = 16000,
-                     n_mels: int = 80) -> jnp.ndarray:
+                     n_mels: int = 80,
+                     lengths: jnp.ndarray = None) -> jnp.ndarray:
     """[B, T] waveform -> [B, n_mels, frames] normalized log-mel.
 
     NeMo AudioToMelSpectrogramPreprocessor semantics: 25 ms window / 10 ms
     hop, 512-point FFT, slaney mel, log, then per-feature (per mel bin)
-    mean/variance normalization over time.
+    mean/variance normalization over time. When `lengths` (valid samples
+    per batch row) is given, the normalization statistics use only the
+    valid frames — NeMo normalizes over seq_len, not the padded extent, so
+    without this the same audio yields different embeddings depending on
+    how far the batch bucketing zero-pads it. NeMo's per_feature std is
+    the unbiased (N-1) estimator (torch .std default).
     """
     from notsofar_tpu.asr.mel import mel_filterbank
     win, hop, nfft = 400, 160, 512
@@ -72,9 +78,20 @@ def titanet_features(audio: jnp.ndarray, sr: int = 16000,
     mel = jnp.einsum("mf,...ft->...mt", fb, mag2,
                      preferred_element_type=jnp.float32)
     logmel = jnp.log(mel + 2 ** -24)
-    mean = logmel.mean(axis=-1, keepdims=True)
-    std = logmel.std(axis=-1, keepdims=True) + 1e-5
-    return (logmel - mean) / std
+    if lengths is None:
+        mean = logmel.mean(axis=-1, keepdims=True)
+        n = logmel.shape[-1]
+        var = logmel.var(axis=-1, keepdims=True) * (n / max(n - 1, 1))
+        return (logmel - mean) / (jnp.sqrt(var) + 1e-5)
+    frame_lengths = lengths // hop + 1
+    Tf = logmel.shape[-1]
+    m = (jnp.arange(Tf)[None, :] < frame_lengths[:, None])
+    m = m[:, None, :].astype(logmel.dtype)            # [B, 1, Tf]
+    denom = jnp.maximum(m.sum(axis=-1, keepdims=True), 1.0)
+    mean = (logmel * m).sum(axis=-1, keepdims=True) / denom
+    var = (jnp.square(logmel - mean) * m).sum(axis=-1, keepdims=True) \
+        / jnp.maximum(denom - 1.0, 1.0)
+    return (logmel - mean) / (jnp.sqrt(var) + 1e-5)
 
 
 class SeparableConv(nn.Module):
@@ -223,7 +240,7 @@ class SpeakerEncoder:
 
     @partial(jax.jit, static_argnums=0)
     def _embed(self, variables, wavs, lengths_samples):
-        feats = titanet_features(wavs)
+        feats = titanet_features(wavs, lengths=lengths_samples)
         frame_lengths = lengths_samples // 160 + 1
         _, emb = self.module.apply(variables, feats, frame_lengths)
         return emb

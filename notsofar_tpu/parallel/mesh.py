@@ -53,22 +53,48 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict, dp_axis: str = "dp") -> dict:
-    """Device-put a numpy batch dict with the batch axis sharded over dp.
+    """Assemble a global batch dict with the batch axis sharded over dp.
 
-    Ragged final batches (size not divisible by the dp extent) fall back to
-    replication — correctness first; the training loader drops the remainder
-    anyway, so this only affects the tail of evaluation.
+    Single-process: a plain device_put with NamedSharding; ragged final
+    batches (size not divisible by the dp extent) fall back to replication —
+    correctness first; the training loader drops the remainder anyway, so
+    this only affects the tail of evaluation.
+
+    Multi-process: each process passes its *process-local* rows and the
+    global array is assembled with jax.make_array_from_process_local_data
+    (a bare device_put would misread the local rows as the global array and
+    silently shrink the effective global batch). Ragged tails are trimmed to
+    the local-device multiple — shards are loader-padded to equal sizes, so
+    every process trims identically and stays in SPMD lockstep.
     """
     dp = mesh.shape[dp_axis]
+    multi = jax.process_count() > 1
+    if multi:
+        # rows of the global batch this process holds = number of distinct
+        # dp-coordinates among its addressable mesh devices
+        axes = list(mesh.axis_names)
+        devs = np.moveaxis(mesh.devices, axes.index(dp_axis), 0)
+        pid = jax.process_index()
+        local_dp = sum(any(d.process_index == pid for d in row.flatten())
+                       for row in devs)
+        assert local_dp > 0, "mesh has no devices on this process"
     out = {}
     for k, v in batch.items():
-        if isinstance(v, np.ndarray) and v.ndim >= 1:
-            if v.shape[0] % dp == 0:
-                out[k] = jax.device_put(v, data_sharding(mesh, v.ndim, dp_axis))
-            else:
-                out[k] = jax.device_put(v, replicated(mesh))
-        else:
+        if not (isinstance(v, np.ndarray) and v.ndim >= 1):
             out[k] = v
+            continue
+        if multi:
+            n = (v.shape[0] // local_dp) * local_dp
+            if n == 0:
+                raise ValueError(
+                    f"local batch {v.shape[0]} < local device count "
+                    f"{local_dp}; raise global_batch_size")
+            sh = data_sharding(mesh, v.ndim, dp_axis)
+            out[k] = jax.make_array_from_process_local_data(sh, v[:n])
+        elif v.shape[0] % dp == 0:
+            out[k] = jax.device_put(v, data_sharding(mesh, v.ndim, dp_axis))
+        else:
+            out[k] = jax.device_put(v, replicated(mesh))
     return out
 
 

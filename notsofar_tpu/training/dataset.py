@@ -50,11 +50,13 @@ def _load_segread():
     native_dir = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "native")
     so = os.path.join(native_dir, "libsegread.so")
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", native_dir], check=True,
-                           capture_output=True)
-        except Exception:
+    # always invoke make: no-op when fresh, rebuild when segread.cpp changed
+    # (a stale .so must never shadow source edits)
+    try:
+        subprocess.run(["make", "-C", native_dir], check=True,
+                       capture_output=True)
+    except Exception:
+        if not os.path.exists(so):
             return None
     try:
         lib = ctypes.CDLL(so)
@@ -133,6 +135,9 @@ class SimulatedDataset:
                  needed_columns: Optional[List[str]] = None):
         self.split_func = segment_split_func
         self.transform_fns = list(transform_fns)
+        self.seed = seed
+        self.epoch = 0
+        # used only from __init__ (url subsampling) — single-threaded
         self.rstate = np.random.RandomState(seed)
         self.fs = fs
         self.single_channel = single_channel
@@ -180,6 +185,10 @@ class SimulatedDataset:
 
     def get_length_seconds(self) -> float:
         return self.total_len_sec
+
+    def set_epoch(self, epoch: int):
+        """Re-jitter the per-epoch segment covers (DataLoader forwards this)."""
+        self.epoch = epoch
 
     def __len__(self):
         return len(self.index)
@@ -237,7 +246,11 @@ class SimulatedDataset:
 
     def __getitem__(self, idx: int) -> Dict:
         utt = self.index[idx]
-        rand_seed = self.rstate.randint(int(1e9))
+        # per-item RNG derived from (seed, epoch, idx): deterministic and
+        # safe under the DataLoader's thread pool (a shared RandomState is
+        # not thread-safe and would make segment jitter order-dependent)
+        item_rng = np.random.RandomState((self.seed, self.epoch, idx))
+        rand_seed = item_rng.randint(int(1e9))
         segments, seg_len = self.split_func(utt["size"], seed=(rand_seed, 0))
         url = utt["url"]
         if url.endswith(".tar"):
@@ -266,7 +279,7 @@ class SimulatedDataset:
                     seg[k] = seg[k][:, 0:1]
 
         for fn in self.transform_fns:
-            seg = fn(seg, (self.rstate.randint(int(1e9)), 0))
+            seg = fn(seg, (item_rng.randint(int(1e9)), 0))
 
         self._pad_to_max_spks(seg)
         return seg
@@ -313,9 +326,17 @@ class DataLoader:
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
+
+    def _shard_size(self) -> int:
+        # shards are padded (by wrap-around repetition, the DistributedSampler
+        # strategy) to a common size so every process sees the same number of
+        # batches and the same ragged tail — required for SPMD lockstep
+        return -(-len(self.dataset) // self.num_shards)
 
     def __len__(self):
-        n = len(self.dataset) // self.num_shards
+        n = self._shard_size()
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -324,6 +345,9 @@ class DataLoader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.RandomState((self.seed, self.epoch)).shuffle(order)
+        if self.num_shards > 1:
+            pad = self._shard_size() * self.num_shards - len(order)
+            order = np.concatenate([order, order[:pad]])
         order = order[self.shard_index::self.num_shards]
         usable = len(order) - (len(order) % self.batch_size
                                if self.drop_last else 0)

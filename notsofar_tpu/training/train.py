@@ -90,11 +90,11 @@ def make_train_step(model: CssModel, tx, cfg: TrainCfg):
 
     @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch, lr, rng):
+        aug_rng, drop_rng = jax.random.split(rng)
         if is_mc:
-            aug_rng, drop_rng = jax.random.split(rng)
             batch = mic_shift_augment(batch, aug_rng)
         (loss, (new_bs, side)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params, state, batch, rng)
+            loss_fn, has_aux=True)(state.params, state, batch, drop_rng)
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = lr
         updates, new_opt_state = tx.update(grads, opt_state, state.params)
@@ -276,7 +276,14 @@ def run_training_css(train_cfg: TrainCfg, train_dir: str, val_dir: str,
     host_rng = np.random.RandomState(cfg.seed + 2112)
 
     def drain_metrics() -> Dict[str, float]:
-        """Sum the pending device metrics (single host sync)."""
+        """Sum the pending device metrics (single host sync).
+
+        Multi-process note: each metric is the output of a jitted SPMD step
+        over the *globally sharded* batch, so it is already a global value,
+        fully replicated across processes — the reference's explicit
+        reduce-to-rank0 (train.py:581-612) has no equivalent work to do here.
+        Proven by tests/test_multiprocess.py (2-process loss == 1-process).
+        """
         nonlocal pending_metrics
         out: Dict[str, float] = {}
         for bs, m in pending_metrics:
@@ -349,7 +356,14 @@ def run_training_css(train_cfg: TrainCfg, train_dir: str, val_dir: str,
 
 
 def eval_model(eval_step, state, val_loader, mesh) -> Dict[str, float]:
-    """Average metrics over the validation loader (train.py:528-568)."""
+    """Average metrics over the validation loader (train.py:528-568).
+
+    Multi-process: the loader pads shards to equal sizes so every process
+    runs the same number of eval steps (SPMD lockstep), and each jitted
+    metric is already the global-batch mean (replicated across processes);
+    the per-batch weights below are process-local sizes, which are equal
+    across processes and therefore cancel in the weighted average.
+    """
     sums: Dict[str, float] = {}
     n = 0
     for it, batch in enumerate(val_loader):

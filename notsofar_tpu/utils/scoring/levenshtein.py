@@ -30,11 +30,14 @@ def _load_native():
     if _lib_tried:
         return _lib
     _lib_tried = True
-    if not os.path.exists(_SO_PATH):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
-        except Exception as e:  # g++/make unavailable -> numpy fallback
+    # always invoke make: the Makefile's source deps make it a no-op when
+    # fresh and a rebuild when tclev.cpp changed — a pre-existing stale .so
+    # must never shadow source edits
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    except Exception as e:  # g++/make unavailable -> try existing, else numpy
+        if not os.path.exists(_SO_PATH):
             _LOG.warning(f"native tclev build failed ({e}); using numpy DP")
             return None
     try:
