@@ -372,12 +372,21 @@ def merge_punctuations(words: List[Dict],
     their own word_timing rows into diarization.
     """
     ws = [dict(w) for w in words]
+
+    def _absorb(dst, src):
+        # token accounting follows whisper's timing.merge_punctuations: the
+        # absorbing word inherits the punctuation's tokens (the emptied
+        # entry keeps tokens=[] and is skipped by distribution)
+        dst["n_tokens"] = dst.get("n_tokens", 1) + src.get("n_tokens", 1)
+        src["n_tokens"] = 0
+
     # prepended punctuation: scan backwards
     i, j = len(ws) - 2, len(ws) - 1
     while i >= 0:
         prev, foll = ws[i], ws[j]
         if prev["word"].startswith(" ") and prev["word"].strip() in prepended:
             foll["word"] = prev["word"] + foll["word"]
+            _absorb(foll, prev)
             prev["word"] = ""
         else:
             j = i
@@ -388,6 +397,7 @@ def merge_punctuations(words: List[Dict],
         prev, foll = ws[i], ws[j]
         if not prev["word"].endswith(" ") and foll["word"] in appended:
             prev["word"] = prev["word"] + foll["word"]
+            _absorb(prev, foll)
             foll["word"] = ""
         else:
             i = j
@@ -403,8 +413,13 @@ def find_word_timestamps(model: WhisperModel, variables,
                          time_offset: float = 0.0,
                          alignment_layers: Optional[List[int]] = None,
                          alignment_heads: Optional[List[Tuple[int, int]]]
-                         = None) -> List[Dict]:
-    """Teacher-forced pass + DTW -> [{'word','start','end'} ...].
+                         = None, merge: bool = True) -> List[Dict]:
+    """Teacher-forced pass + DTW ->
+    [{'word','start','end','probability','n_tokens'} ...].
+
+    merge=False returns the raw per-word alignment (whisper's
+    find_alignment), letting the caller run the duration-truncation hacks
+    BEFORE merge_punctuations exactly like whisper's add_word_timestamps.
 
     xa_single: [1, 1500, D] for one window; text_tokens: decoded tokens
     (without sot/eot); num_frames: valid mel frames (content length / 2).
@@ -421,9 +436,25 @@ def find_word_timestamps(model: WhisperModel, variables,
     full = tokenizer.sot_sequence + [tokenizer.no_timestamps] + \
         list(text_tokens) + [tokenizer.eot]
     toks = jnp.asarray(np.asarray(full, np.int32)[None])
-    _, _, cross = model.decoder.apply(
+    logits, _, cross = model.decoder.apply(
         variables["decoder"], toks, xa_single, 0, None,
         return_cross_attn=True)
+    # per-token probabilities under the text-vocab-restricted softmax
+    # (whisper timing.find_alignment: logits[..., :eot].softmax), used for
+    # word probability = mean over its tokens — feeds the hallucination
+    # anomaly score in transcribe.py.
+    n_text = len(text_tokens)
+    sot_len_ = len(tokenizer.sot_sequence) + 1
+    if n_text:
+        lg = np.asarray(logits[0, sot_len_ - 1:sot_len_ - 1 + n_text,
+                               :tokenizer.eot], np.float32)
+        lg = lg - lg.max(axis=-1, keepdims=True)
+        probs_all = np.exp(lg)
+        probs_all /= probs_all.sum(axis=-1, keepdims=True)
+        text_token_probs = probs_all[np.arange(n_text),
+                                     np.asarray(text_tokens)]
+    else:
+        text_token_probs = np.zeros(0, np.float32)
     # stack selected heads (or whole layers): cross[i] is [1, H, T, 1500]
     if alignment_heads:
         w = np.stack([np.asarray(cross[l])[0, h]
@@ -464,7 +495,12 @@ def find_word_timestamps(model: WhisperModel, variables,
     for word, wt in zip(words, word_tokens):
         start = token_start[min(pos, n_tok)]
         end = token_start[min(pos + len(wt), n_tok)]
+        prob = float(np.mean(text_token_probs[pos:pos + len(wt)])) \
+            if len(wt) and pos + len(wt) <= n_text else 0.0
         out.append(dict(word=word, start=time_offset + float(start),
-                        end=time_offset + float(max(end, start))))
+                        end=time_offset + float(max(end, start)),
+                        probability=prob, n_tokens=len(wt)))
         pos += len(wt)
-    return merge_punctuations(out)
+    if merge:
+        return merge_punctuations(out)
+    return out

@@ -2,19 +2,32 @@
 
 Rebuild of the openai-whisper transcribe() behavior the reference invokes
 (asr/asr.py:74 with word_timestamps=True, beam_size=5,
-hallucination_silence_threshold=2.0). This implementation:
+hallucination_silence_threshold=2.0). This implementation ports whisper's
+long-form control flow faithfully:
 
-* slides 30 s windows with timestamp-token-driven seek advancement,
-* condition_on_previous_text (sot_prev prompt) like whisper's default,
+* timestamp-token-driven segmentation and seek advancement, including the
+  single_timestamp_ending rule (consume the whole window) and
+  seek-to-last-timestamp otherwise,
+* word-timestamp-based seek refinement (jump to the last aligned word end),
+* hallucination_silence_threshold semantics: skip silence gaps before/after
+  suspected hallucinations using per-word anomaly scores (probability,
+  duration) — the word-gap silence-skipping logic of whisper's
+  transcribe.py, not a text-repetition heuristic,
+* condition_on_previous_text (sot_prev prompt), with whisper's
+  temperature>0.5 prompt-reset rule,
 * no-speech skipping (no_speech_prob > 0.6 unless avg_logprob > -1.0),
-* word-level timestamps via teacher-forced cross-attention DTW,
-* a hallucination guard in the spirit of hallucination_silence_threshold:
-  windows whose decoded segment repeats the previous text verbatim with
-  near-zero speech energy are skipped,
+* word-level timestamps via teacher-forced cross-attention DTW, with
+  whisper's median-duration truncation hacks and token-count-based
+  word-to-segment distribution,
 * beam search (TranscribeOptions.beam_size; the shipped config uses 5) via
   asr/beam.py, with whisper's temperature-fallback ladder: retries with
   gumbel sampling at 0.2..1.0 when the hypothesis compresses suspiciously
   well (repetition) or scores below the logprob threshold.
+
+The seek/segmentation rules live in pure module functions
+(parse_segments, add_word_timestamps, apply_seek_rules) so
+tests/test_transcribe_seek.py can pin them against whisper's documented
+behavior on constructed token sequences without running a model.
 """
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
@@ -23,7 +36,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from notsofar_tpu.asr.decoding import (DecodeOptions, GreedyDecoder,
-                                       detect_language, find_word_timestamps)
+                                       detect_language, find_word_timestamps,
+                                       merge_punctuations)
 from notsofar_tpu.asr.mel import (HOP_LENGTH, N_FRAMES, N_SAMPLES,
                                   SAMPLE_RATE, log_mel_spectrogram)
 from notsofar_tpu.asr.tokenizer import WhisperTokenizer
@@ -35,6 +49,11 @@ _LOG = get_logger("transcribe")
 FRAMES_PER_SECOND = SAMPLE_RATE // HOP_LENGTH  # 100
 INPUT_STRIDE = 2                                # mel frames per output token
 TIME_PRECISION = INPUT_STRIDE / FRAMES_PER_SECOND  # 0.02 s
+
+# whisper transcribe.py `punctuation` (prepend + append, concatenated) —
+# membership test is substring-in-string, matching whisper
+_PUNCTUATION = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
+_SENTENCE_END_MARKS = ".。!！?？"
 
 
 @dataclass
@@ -67,6 +86,279 @@ def compression_ratio(text: str) -> float:
     if not data:
         return 0.0
     return len(data) / len(zlib.compress(data))
+
+
+# ===========================================================================
+# Pure whisper control-flow ports (unit-tested without a model)
+# ===========================================================================
+
+def parse_segments(tokens: List[int], timestamp_begin: int,
+                   time_offset: float, segment_size: int, decode_text):
+    """Whisper's timestamp segmentation + seek rule (transcribe.py).
+
+    tokens: sampled tokens for one window (sot/prompt/eot stripped).
+    decode_text: fn(text_tokens)->str.
+    Returns (segments, seek_increment_frames, single_timestamp_ending).
+
+    Rules ported:
+      * consecutive timestamp pairs delimit segments; with a single
+        timestamp at the very end, the trailing slice is closed at
+        len(tokens) and the WHOLE window is consumed,
+      * otherwise the unfinished trailing segment is dropped and seek
+        advances to the last consecutive-pair timestamp,
+      * with no consecutive pairs, the whole window forms one segment whose
+        duration comes from the last nonzero timestamp (else the window
+        length), and the whole window is consumed.
+    """
+    ts = timestamp_begin
+    is_ts = [t >= ts for t in tokens]
+    single_timestamp_ending = (len(tokens) >= 2 and is_ts[-1]
+                               and not is_ts[-2])
+
+    def new_segment(start, end, sliced):
+        text_tokens = [t for t in sliced if t < ts]
+        return dict(start=start, end=end, text=decode_text(text_tokens),
+                    tokens=list(sliced), words=[])
+
+    segments: List[Dict] = []
+    consecutive = [i + 1 for i in range(len(tokens) - 1)
+                   if is_ts[i] and is_ts[i + 1]]
+    if consecutive:
+        slices = list(consecutive)
+        if single_timestamp_ending:
+            slices.append(len(tokens))
+        last_slice = 0
+        for current_slice in slices:
+            sliced = tokens[last_slice:current_slice]
+            start_pos = sliced[0] - ts
+            end_pos = sliced[-1] - ts
+            segments.append(new_segment(
+                time_offset + start_pos * TIME_PRECISION,
+                time_offset + end_pos * TIME_PRECISION, sliced))
+            last_slice = current_slice
+        if single_timestamp_ending:
+            seek_inc = segment_size
+        else:
+            seek_inc = (tokens[last_slice - 1] - ts) * INPUT_STRIDE
+    else:
+        duration = segment_size * HOP_LENGTH / SAMPLE_RATE
+        timestamps = [t for t in tokens if t >= ts]
+        if timestamps and timestamps[-1] != ts:
+            duration = (timestamps[-1] - ts) * TIME_PRECISION
+        segments.append(new_segment(time_offset, time_offset + duration,
+                                    tokens))
+        seek_inc = segment_size
+    # whisper assumes monotonic timestamps keep seek advancing; clamp to 1
+    # frame so a degenerate decode can never stall the loop
+    return segments, max(int(seek_inc), 1), single_timestamp_ending
+
+
+def add_word_timestamps(segments: List[Dict], alignment: List[Dict],
+                        time_offset: float, last_speech_timestamp: float,
+                        eot: int) -> None:
+    """Whisper timing.add_word_timestamps: duration hacks + distribution.
+
+    alignment: raw word list (find_word_timestamps(merge=False)) with
+    WINDOW-RELATIVE times and per-word 'probability'/'n_tokens'. Mutates
+    segments in place: fills 'words' (absolute times, rounded to 2 dp) and
+    adjusts segment start/end to the aligned word extents.
+    """
+    if not segments:
+        return
+    alignment = [dict(w) for w in alignment]
+    word_durations = [w["end"] - w["start"] for w in alignment
+                      if w["end"] - w["start"] > 0]
+    median_duration = float(np.median(word_durations)) \
+        if word_durations else 0.0
+    median_duration = min(0.7, median_duration)
+    max_duration = median_duration * 2
+
+    # hack: truncate long words at sentence boundaries (timing.py)
+    if word_durations:
+        for i in range(1, len(alignment)):
+            if alignment[i]["end"] - alignment[i]["start"] > max_duration:
+                if alignment[i]["word"] in _SENTENCE_END_MARKS:
+                    alignment[i]["end"] = \
+                        alignment[i]["start"] + max_duration
+                elif alignment[i - 1]["word"] in _SENTENCE_END_MARKS:
+                    alignment[i]["start"] = \
+                        alignment[i]["end"] - max_duration
+
+    alignment = merge_punctuations(alignment)
+
+    word_index = 0
+    for segment in segments:
+        text_token_count = len([t for t in segment["tokens"] if t < eot])
+        saved_tokens = 0
+        words: List[Dict] = []
+        while word_index < len(alignment) and saved_tokens < text_token_count:
+            timing = alignment[word_index]
+            if timing["word"]:
+                words.append(dict(
+                    word=timing["word"],
+                    start=round(time_offset + timing["start"], 2),
+                    end=round(time_offset + timing["end"], 2),
+                    probability=timing.get("probability", 0.0)))
+            saved_tokens += timing.get("n_tokens", 1)
+            word_index += 1
+
+        if words:
+            # hack: ensure the first and second word after a pause are not
+            # longer than twice the median word duration (timing.py)
+            if words[0]["end"] - last_speech_timestamp > median_duration * 4 \
+                    and (words[0]["end"] - words[0]["start"] > max_duration
+                         or (len(words) > 1 and
+                             words[1]["end"] - words[0]["start"]
+                             > max_duration * 2)):
+                if len(words) > 1 and \
+                        words[1]["end"] - words[1]["start"] > max_duration:
+                    boundary = max(words[1]["end"] / 2,
+                                   words[1]["end"] - max_duration)
+                    words[0]["end"] = words[1]["start"] = boundary
+                words[0]["start"] = max(0.0, words[0]["end"] - max_duration)
+
+            # prefer segment-level start/end when the edge word is too long
+            if segment["start"] < words[0]["end"] and \
+                    segment["start"] - 0.5 > words[0]["start"]:
+                words[0]["start"] = max(
+                    0.0, min(words[0]["end"] - median_duration,
+                             segment["start"]))
+            else:
+                segment["start"] = words[0]["start"]
+            if segment["end"] > words[-1]["start"] and \
+                    segment["end"] + 0.5 < words[-1]["end"]:
+                words[-1]["end"] = max(words[-1]["start"] + median_duration,
+                                       segment["end"])
+            else:
+                segment["end"] = words[-1]["end"]
+        segment["words"] = words
+
+
+def word_anomaly_score(word: Dict) -> float:
+    """Whisper transcribe.py word_anomaly_score."""
+    probability = word.get("probability", 0.0)
+    duration = word["end"] - word["start"]
+    score = 0.0
+    if probability < 0.15:
+        score += 1.0
+    if duration < 0.133:
+        score += (0.133 - duration) * 15
+    if duration > 2.0:
+        score += duration - 2.0
+    return score
+
+
+def is_segment_anomaly(segment: Optional[Dict]) -> bool:
+    """Whisper transcribe.py is_segment_anomaly."""
+    if segment is None or not segment["words"]:
+        return False
+    words = [w for w in segment["words"] if w["word"] not in _PUNCTUATION]
+    words = words[:8]
+    if not words:
+        return False
+    score = sum(word_anomaly_score(w) for w in words)
+    return score >= 3 or score + 0.01 >= len(words)
+
+
+def next_words_segment(segments: List[Dict]) -> Optional[Dict]:
+    return next((s for s in segments if s["words"]), None)
+
+
+def get_end(segments: List[Dict]) -> Optional[float]:
+    return next((w["end"] for s in reversed(segments)
+                 for w in reversed(s["words"])), None)
+
+
+def apply_seek_rules(segments: List[Dict], *, previous_seek: int, seek: int,
+                     segment_size: int, time_offset: float,
+                     window_end_time: float, content_frames: int,
+                     content_duration: float,
+                     single_timestamp_ending: bool,
+                     threshold: Optional[float],
+                     last_speech_timestamp: float):
+    """Whisper's word-timestamp seek refinement + hallucination skipping.
+
+    Port of the `if word_timestamps:` block of transcribe.py after
+    add_word_timestamps: jump seek to the last aligned word end, then — when
+    hallucination_silence_threshold is set — skip silence gaps around
+    anomalous segments.
+
+    Returns (seek, segments, skip_window). skip_window=True reproduces the
+    `continue` on a leading-gap hallucination: the caller must drop ALL of
+    this window's segments and tokens.
+    """
+    if not single_timestamp_ending:
+        last_word_end = get_end(segments)
+        if last_word_end is not None and last_word_end > time_offset:
+            seek = round(last_word_end * FRAMES_PER_SECOND)
+
+    if threshold is not None:
+        # if decoding stopped mid-window, either trust the word alignment
+        # (enough trailing silence) or fall back to a full-window hop
+        if not single_timestamp_ending:
+            last_word_end = get_end(segments)
+            if last_word_end is not None and last_word_end > time_offset:
+                remaining_duration = window_end_time - last_word_end
+                if remaining_duration > threshold:
+                    seek = round(last_word_end * FRAMES_PER_SECOND)
+                else:
+                    seek = previous_seek + segment_size
+
+        # if the first segment might be a hallucination, skip leading silence
+        first_segment = next_words_segment(segments)
+        if first_segment is not None and is_segment_anomaly(first_segment):
+            gap = first_segment["start"] - time_offset
+            if gap > threshold:
+                seek = previous_seek + round(gap * FRAMES_PER_SECOND)
+                return seek, segments, True
+
+        # skip silence before any possible hallucination surrounded by
+        # silence or more hallucinations
+        hal_last_end = last_speech_timestamp
+        for si, segment in enumerate(segments):
+            if not segment["words"]:
+                continue
+            if is_segment_anomaly(segment):
+                next_segment = next_words_segment(segments[si + 1:])
+                if next_segment is not None:
+                    hal_next_start = next_segment["words"][0]["start"]
+                else:
+                    hal_next_start = time_offset + \
+                        segment_size * HOP_LENGTH / SAMPLE_RATE
+                silence_before = (
+                    segment["start"] - hal_last_end > threshold
+                    or segment["start"] < threshold
+                    or segment["start"] - time_offset < 2.0)
+                silence_after = (
+                    hal_next_start - segment["end"] > threshold
+                    or is_segment_anomaly(next_segment)
+                    or window_end_time - segment["end"] < 2.0)
+                if silence_before and silence_after:
+                    seek = round(max(time_offset + 1, segment["start"])
+                                 * FRAMES_PER_SECOND)
+                    if content_duration - segment["end"] < threshold:
+                        seek = content_frames
+                    segments = segments[:si]
+                    break
+            hal_last_end = segment["end"]
+    return seek, segments, False
+
+
+# ===========================================================================
+# Transcriber
+# ===========================================================================
+
+@dataclass
+class _Stream:
+    """Per-stream long-form decode state."""
+    audio: np.ndarray
+    mel: np.ndarray
+    content_frames: int
+    seek: int = 0
+    all_tokens: List[int] = field(default_factory=list)
+    prompt_reset_since: int = 0
+    segments: List[Dict] = field(default_factory=list)
+    last_speech_timestamp: float = 0.0
 
 
 class WhisperTranscriber:
@@ -112,9 +404,10 @@ class WhisperTranscriber:
         scores a low average logprob (transcribe() fallback logic).
 
         The sampling rng is a pure function of (salt, temperature index) so
-        batched and serial transcription stay bit-identical."""
+        batched and serial transcription stay bit-identical.
+        Returns (result, temperature_used)."""
         import jax
-        result = None
+        result, t = None, 0.0
         for ti, t in enumerate(self.opt.temperatures):
             if t == 0.0:
                 result = self.decoder.decode(self.variables, xa, prompt)
@@ -136,77 +429,14 @@ class WhisperTranscriber:
                 needs_fallback = False  # silence — don't fight it
             if not needs_fallback:
                 break
-        return result
+        return result, t
 
+    # ------------------------------------------------------------------
     def transcribe(self, audio: np.ndarray, sr: int = SAMPLE_RATE) -> Dict:
         """audio: mono float waveform. Returns {'segments': [...], 'text'}
         with the whisper result structure (start/end/text/words per
-        segment; words have word/start/end)."""
-        assert sr == SAMPLE_RATE, "resample to 16 kHz before ASR"
-        audio = np.asarray(audio, np.float32)
-        mel_full = np.asarray(log_mel_spectrogram(
-            jnp.asarray(np.pad(audio, (0, N_SAMPLES))),
-            n_mels=self.model.dims.n_mels))
-        content_frames = mel_full.shape[-1] - N_FRAMES
-        content_frames = max(content_frames, 1)
-
-        seek = 0
-        all_tokens: List[int] = []
-        prompt_reset_since = 0
-        segments: List[Dict] = []
-        last_text = None
-
-        while seek < content_frames:
-            window = mel_full[:, seek:seek + N_FRAMES]
-            time_offset = seek * HOP_LENGTH / SAMPLE_RATE
-            segment_frames = min(N_FRAMES, content_frames - seek)
-            xa = self.model.encode(self.variables,
-                                   jnp.asarray(window[None]))
-            self._maybe_detect_language(xa)
-            prompt = all_tokens[prompt_reset_since:] \
-                if self.opt.condition_on_previous_text else None
-            res = self._decode_with_fallback(xa, prompt, salt=seek)
-            tokens = res["tokens"][0]
-            avg_logprob = float(res["avg_logprob"][0])
-            no_speech_prob = float(res["no_speech_prob"][0])
-
-            if no_speech_prob > self.opt.no_speech_threshold and \
-                    avg_logprob < self.opt.logprob_threshold:
-                seek += segment_frames
-                continue
-
-            new_segments, frames_consumed = self._parse_segments(
-                tokens, time_offset, segment_frames)
-
-            # crude hallucination guard: identical consecutive text over a
-            # near-silent window
-            text_now = " ".join(s["text"] for s in new_segments).strip()
-            if self.opt.hallucination_silence_threshold is not None and \
-                    text_now and text_now == last_text:
-                energy = float(np.abs(audio[
-                    seek * HOP_LENGTH:(seek + segment_frames) * HOP_LENGTH]).mean())
-                if energy < 1e-4:
-                    seek += segment_frames
-                    continue
-            last_text = text_now or last_text
-
-            if self.opt.word_timestamps and new_segments:
-                words = find_word_timestamps(
-                    self.model, self.variables, self.tok, xa,
-                    [t for t in tokens if t < self.tok.eot],
-                    num_frames=segment_frames, time_offset=time_offset,
-                    alignment_heads=self.opt.alignment_heads)
-                _distribute_words(new_segments, words)
-
-            segments.extend(new_segments)
-            all_tokens.extend(t for t in tokens if t < self.tok.eot)
-            if not self.opt.condition_on_previous_text or avg_logprob < -1.0:
-                prompt_reset_since = len(all_tokens)
-            seek += frames_consumed
-
-        return dict(
-            text=" ".join(s["text"].strip() for s in segments),
-            segments=segments, language=self.opt.language)
+        segment; words have word/start/end/probability)."""
+        return self.transcribe_batch([audio], sr)[0]
 
     # ------------------------------------------------------------------
     def transcribe_batch(self, audios: List[np.ndarray],
@@ -223,26 +453,31 @@ class WhisperTranscriber:
         B = len(audios)
         if B == 0:
             return []
-        audios = [np.asarray(a, np.float32) for a in audios]
-        mels = [np.asarray(log_mel_spectrogram(
-            jnp.asarray(np.pad(a, (0, N_SAMPLES))),
-            n_mels=self.model.dims.n_mels)) for a in audios]
-        content = [max(m.shape[-1] - N_FRAMES, 1) for m in mels]
-
-        seeks = [0] * B
-        all_tokens: List[List[int]] = [[] for _ in range(B)]
-        prompt_reset = [0] * B
-        segments: List[List[Dict]] = [[] for _ in range(B)]
-        last_text: List[Optional[str]] = [None] * B
+        streams: List[_Stream] = []
+        for a in audios:
+            a = np.asarray(a, np.float32)
+            mel = np.asarray(log_mel_spectrogram(
+                jnp.asarray(np.pad(a, (0, N_SAMPLES))),
+                n_mels=self.model.dims.n_mels))
+            streams.append(_Stream(
+                audio=a, mel=mel,
+                content_frames=max(mel.shape[-1] - N_FRAMES, 1)))
 
         while True:
-            active = [b for b in range(B) if seeks[b] < content[b]]
+            active = [b for b in range(B)
+                      if streams[b].seek < streams[b].content_frames]
             if not active:
                 break
-            # fixed batch shape (inactive rows zeroed) -> one encoder compile
-            windows = np.zeros((B, mels[0].shape[0], N_FRAMES), np.float32)
+            # fixed batch shape (inactive rows zeroed) -> one encoder
+            # compile. Windows are sliced to the CONTENT extent and
+            # zero-padded (whisper's pad_or_trim on the normalized mel), not
+            # filled with mel-of-padded-silence.
+            windows = np.zeros((B, streams[0].mel.shape[0], N_FRAMES),
+                               np.float32)
             for b in active:
-                windows[b] = mels[b][:, seeks[b]:seeks[b] + N_FRAMES]
+                s = streams[b]
+                seg = min(N_FRAMES, s.content_frames - s.seek)
+                windows[b, :, :seg] = s.mel[:, s.seek:s.seek + seg]
             xa_full = self.model.encode(self.variables, jnp.asarray(windows))
             xa = xa_full[active, :, :] if len(active) != B else xa_full
             self._maybe_detect_language(xa[0:1])
@@ -255,11 +490,11 @@ class WhisperTranscriber:
                 res_all = self.decoder.decode(self.variables, xa_full, None)
                 for b in active:
                     self._consume_window(
-                        b, dict(tokens=[res_all["tokens"][b]],
-                                avg_logprob=res_all["avg_logprob"][b:b + 1],
-                                no_speech_prob=res_all["no_speech_prob"][b:b + 1]),
-                        xa_full[b:b + 1], audios, mels, content, seeks,
-                        all_tokens, prompt_reset, segments, last_text)
+                        streams[b],
+                        dict(tokens=[res_all["tokens"][b]],
+                             avg_logprob=res_all["avg_logprob"][b:b + 1],
+                             no_speech_prob=res_all["no_speech_prob"][b:b + 1]),
+                        xa_full[b:b + 1], temperature=0.0)
                 continue
             # condition_on_previous_text requires equal prompts per batch
             # element; decode each active stream against its own prompt only
@@ -267,123 +502,84 @@ class WhisperTranscriber:
             # prompts always differ, so we batch the (dominant) encoder and
             # amortize decoding via same-shape compilation.
             for j, b in enumerate(active):
-                prompt = all_tokens[b][prompt_reset[b]:] \
+                s = streams[b]
+                prompt = s.all_tokens[s.prompt_reset_since:] \
                     if self.opt.condition_on_previous_text else None
-                res = self._decode_with_fallback(xa[j:j + 1], prompt,
-                                                 salt=seeks[b])
-                self._consume_window(b, res, xa[j:j + 1], audios, mels,
-                                     content, seeks, all_tokens, prompt_reset,
-                                     segments, last_text)
+                res, temp = self._decode_with_fallback(xa[j:j + 1], prompt,
+                                                       salt=s.seek)
+                self._consume_window(s, res, xa[j:j + 1], temperature=temp)
 
-        return [dict(text=" ".join(s["text"].strip() for s in segments[b]),
-                     segments=segments[b], language=self.opt.language)
-                for b in range(B)]
-
-    def _consume_window(self, b, res, xa_b, audios, mels, content, seeks,
-                        all_tokens, prompt_reset, segments, last_text):
-        """Apply one decoded window's results to stream b's state (seek
-        advancement, no-speech skip, hallucination guard, word timestamps)."""
-        tokens = res["tokens"][0]
-        avg_lp = float(res["avg_logprob"][0])
-        nsp = float(res["no_speech_prob"][0])
-        seg_frames = min(N_FRAMES, content[b] - seeks[b])
-        time_offset = seeks[b] * HOP_LENGTH / SAMPLE_RATE
-        if nsp > self.opt.no_speech_threshold and \
-                avg_lp < self.opt.logprob_threshold:
-            seeks[b] += seg_frames
-            return
-        new_segments, consumed = self._parse_segments(
-            tokens, time_offset, seg_frames)
-        text_now = " ".join(s["text"] for s in new_segments).strip()
-        if self.opt.hallucination_silence_threshold is not None and \
-                text_now and text_now == last_text[b]:
-            energy = float(np.abs(audios[b][
-                seeks[b] * HOP_LENGTH:
-                (seeks[b] + seg_frames) * HOP_LENGTH]).mean())
-            if energy < 1e-4:
-                seeks[b] += seg_frames
-                return
-        last_text[b] = text_now or last_text[b]
-        if self.opt.word_timestamps and new_segments:
-            words = find_word_timestamps(
-                self.model, self.variables, self.tok, xa_b,
-                [t for t in tokens if t < self.tok.eot],
-                num_frames=seg_frames, time_offset=time_offset,
-                alignment_heads=self.opt.alignment_heads)
-            _distribute_words(new_segments, words)
-        segments[b].extend(new_segments)
-        all_tokens[b].extend(t for t in tokens if t < self.tok.eot)
-        if not self.opt.condition_on_previous_text or avg_lp < -1.0:
-            prompt_reset[b] = len(all_tokens[b])
-        seeks[b] += consumed
+        return [dict(text=" ".join(seg["text"].strip()
+                                   for seg in s.segments
+                                   if seg["text"].strip()),
+                     segments=s.segments, language=self.opt.language)
+                for s in streams]
 
     # ------------------------------------------------------------------
-    def _parse_segments(self, tokens: List[int], time_offset: float,
-                        segment_frames: int):
-        """Split decoded tokens into timestamped segments; returns
-        (segments, frames_consumed) following whisper's seek rules."""
-        tok = self.tok
-        ts = tok.timestamp_begin
-        segment_dur_frames = segment_frames
+    def _consume_window(self, s: _Stream, res, xa_b, temperature: float):
+        """Apply one decoded window's results to the stream state —
+        whisper's per-window block: no-speech skip, segmentation, word
+        timestamps, seek rules, prompt-reset."""
+        opt = self.opt
+        tokens = [int(t) for t in res["tokens"][0]]
+        avg_lp = float(res["avg_logprob"][0])
+        nsp = float(res["no_speech_prob"][0])
+        previous_seek = s.seek
+        segment_size = min(N_FRAMES, s.content_frames - s.seek)
+        time_offset = s.seek * HOP_LENGTH / SAMPLE_RATE
+        window_end_time = (s.seek + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE
+        content_duration = s.content_frames * HOP_LENGTH / SAMPLE_RATE
 
-        # find timestamp-delimited spans
-        spans = []
-        cur_start = None
-        cur_tokens: List[int] = []
-        last_ts_token = None
-        for t in tokens:
-            if t >= ts:
-                last_ts_token = t
-                if cur_start is None:
-                    cur_start = t
-                else:
-                    spans.append((cur_start, t, cur_tokens))
-                    cur_start, cur_tokens = None, []
-            else:
-                cur_tokens.append(t)
-        consumed = segment_dur_frames
-        if spans:
-            if cur_start is not None and cur_tokens:
-                # unpaired trailing content — close at window end
-                spans.append((cur_start, ts + segment_frames // 2, cur_tokens))
-            elif last_ts_token is not None and last_ts_token != ts:
-                # window ends early at the final timestamp
-                consumed = min(segment_dur_frames,
-                               (last_ts_token - ts) * INPUT_STRIDE)
-                consumed = max(consumed, 1)
-        elif cur_tokens:
-            spans.append((ts, ts + segment_frames // 2, cur_tokens))
+        if opt.no_speech_threshold is not None:
+            should_skip = nsp > opt.no_speech_threshold
+            if opt.logprob_threshold is not None and \
+                    avg_lp > opt.logprob_threshold:
+                should_skip = False
+            if should_skip:
+                s.seek += segment_size
+                return
 
-        segments = []
-        for start_t, end_t, toks in spans:
-            if not toks:
-                continue
-            text = tok.decode(toks)
-            if not text.strip():
-                continue
-            segments.append(dict(
-                start=time_offset + (start_t - ts) * TIME_PRECISION,
-                end=time_offset + (end_t - ts) * TIME_PRECISION,
-                text=text, tokens=toks, words=[]))
-        return segments, max(int(consumed), 1)
+        segments, seek_inc, single_ts_ending = parse_segments(
+            tokens, self.tok.timestamp_begin, time_offset, segment_size,
+            self.tok.decode)
+        s.seek += seek_inc
 
+        if opt.word_timestamps:
+            text_tokens = [t for seg in segments for t in seg["tokens"]
+                           if t < self.tok.eot]
+            alignment = find_word_timestamps(
+                self.model, self.variables, self.tok, xa_b, text_tokens,
+                num_frames=segment_size, time_offset=0.0,
+                alignment_heads=opt.alignment_heads, merge=False)
+            add_word_timestamps(segments, alignment, time_offset,
+                                s.last_speech_timestamp, self.tok.eot)
+            s.seek, segments, skip_window = apply_seek_rules(
+                segments, previous_seek=previous_seek, seek=s.seek,
+                segment_size=segment_size, time_offset=time_offset,
+                window_end_time=window_end_time,
+                content_frames=s.content_frames,
+                content_duration=content_duration,
+                single_timestamp_ending=single_ts_ending,
+                threshold=opt.hallucination_silence_threshold,
+                last_speech_timestamp=s.last_speech_timestamp)
+            # termination guard (not in whisper): never move backwards
+            s.seek = max(s.seek, previous_seek + 1)
+            if skip_window:
+                return
+            word_ends = [w["end"] for seg in segments
+                         for w in seg["words"]]
+            if word_ends:
+                s.last_speech_timestamp = word_ends[-1]
 
-def _distribute_words(segments: List[Dict], words: List[Dict]):
-    """Assign DTW word timings to segments by temporal containment."""
-    for seg in segments:
-        seg["words"] = []
-    wi = 0
-    for seg in segments:
-        while wi < len(words):
-            w = words[wi]
-            mid = 0.5 * (w["start"] + w["end"])
-            if mid <= seg["end"] + 0.02 or seg is segments[-1]:
-                seg["words"].append(w)
-                wi += 1
-            else:
-                break
-    # clamp word times into their segment and keep text consistent
-    for seg in segments:
-        if seg["words"]:
-            seg["start"] = min(seg["start"], seg["words"][0]["start"])
-            seg["end"] = max(seg["end"], seg["words"][-1]["end"])
+        # clear instantaneous / empty segments (whisper keeps the rows)
+        for seg in segments:
+            if seg["start"] == seg["end"] or not seg["text"].strip():
+                seg["text"] = ""
+                seg["tokens"] = []
+                seg["words"] = []
+        s.segments.extend(segments)
+        s.all_tokens.extend(t for seg in segments for t in seg["tokens"]
+                            if t < self.tok.eot)
+        if not opt.condition_on_previous_text or temperature > 0.5:
+            # do not feed the prompt tokens if a high temperature was used
+            s.prompt_reset_since = len(s.all_tokens)
