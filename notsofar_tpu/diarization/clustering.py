@@ -106,6 +106,21 @@ class NmescResult:
     g_p: float
 
 
+def is_graph_fully_connected(aff_bin: np.ndarray) -> bool:
+    """BFS from node 0 over nonzero edges (NeMo isGraphFullyConnected)."""
+    N = aff_bin.shape[0]
+    seen = np.zeros(N, bool)
+    stack = [0]
+    seen[0] = True
+    adj = aff_bin > 0
+    while stack:
+        i = stack.pop()
+        nxt = np.where(adj[i] & ~seen)[0]
+        seen[nxt] = True
+        stack.extend(nxt.tolist())
+    return bool(seen.all())
+
+
 def nmesc(affinity: np.ndarray, max_num_speakers: int = 8,
           max_rp_threshold: float = 0.06,
           sparse_search_volume: int = 30,
@@ -133,6 +148,20 @@ def nmesc(affinity: np.ndarray, max_num_speakers: int = 8,
         g_p = (p / N) / (nme + 1e-10)
         if best is None or g_p < best.g_p:
             best = NmescResult(num_spk, int(p), float(g_p))
+    # connectivity repair (NeMo getMinimumConnection): a pruning level that
+    # disconnects the affinity graph yields all-zero eigengaps and a
+    # meaningless speaker count — raise p until the graph is connected and
+    # re-estimate there. NeMo walks its candidate list; we continue up to N
+    # so small-N inputs (where max_rp_threshold*N is just 2-3 neighbors)
+    # also recover.
+    if not is_graph_fully_connected(binarize_top_p(affinity, best.p_hat)):
+        for p in range(best.p_hat + 1, N + 1):
+            aff_p = binarize_top_p(affinity, p)
+            if is_graph_fully_connected(aff_p):
+                num_spk, _, _ = estimate_num_speakers(aff_p,
+                                                      max_num_speakers)
+                best = NmescResult(num_spk, p, best.g_p)
+                break
     return best
 
 

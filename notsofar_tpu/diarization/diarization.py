@@ -22,7 +22,7 @@ _LOG = get_logger("diarization")
 
 def diarization_inference(out_dir: str, segments_df: pd.DataFrame,
                           cfg: DiarizationCfg, fetch_from_cache: bool,
-                          encoder=None) -> pd.DataFrame:
+                          encoder=None, msdd=None) -> pd.DataFrame:
     """Assign a speaker label to each ASR word."""
     _LOG.info("Running Speaker Diarization")
     assert segments_df.session_id.nunique() <= 1, \
@@ -68,7 +68,7 @@ def diarization_inference(out_dir: str, segments_df: pd.DataFrame,
     elif cfg.method in ("nmesc", "nmesc_msdd"):
         attributed = time_based_diarization(wav_files, segments_df,
                                             str(output_dir), cfg,
-                                            encoder=encoder)
+                                            encoder=encoder, msdd=msdd)
     else:
         raise ValueError(f"unknown diarization method: {cfg.method}")
 

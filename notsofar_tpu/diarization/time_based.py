@@ -48,11 +48,129 @@ def energy_vad(wav: np.ndarray, sr: int, frame_sec: float = 0.01,
     return db > threshold_db
 
 
+def _embed_windows(concat: np.ndarray, sr: int, encoder,
+                   starts: List[int], win: int) -> np.ndarray:
+    """Batched speaker embeddings for fixed-length windows of `concat`."""
+    batch = np.zeros((len(starts), win), np.float32)
+    lengths = np.full(len(starts), win, np.int32)
+    for i, s0 in enumerate(starts):
+        seg = concat[s0:s0 + win]
+        batch[i, :len(seg)] = seg
+        lengths[i] = max(len(seg), 1)
+    embs = []
+    bs = 64
+    for i in range(0, len(starts), bs):
+        chunk = batch[i:i + bs]
+        ln = lengths[i:i + bs]
+        if len(chunk) < bs:
+            chunk = np.pad(chunk, ((0, bs - len(chunk)), (0, 0)))
+            ln = np.pad(ln, (0, bs - len(ln)), constant_values=1)
+        embs.append(encoder.embed(chunk, ln)[:min(bs, len(starts) - i)])
+    return np.concatenate(embs, axis=0)
+
+
+# NeMo diar_msdd_telephonic multiscale setup (window, shift) in seconds
+MSDD_SCALES = [1.5, 1.25, 1.0, 0.75, 0.5]
+MSDD_HOPS = [0.75, 0.625, 0.5, 0.375, 0.25]
+
+
+def msdd_refine(concat: np.ndarray, sr: int, encoder, msdd,
+                cluster_starts: List[int], cluster_labels: np.ndarray,
+                vad: np.ndarray, n_spk: int,
+                threshold: float = 0.7, chunk: int = 256) -> np.ndarray:
+    """Overlap-aware refinement of a clustering initialization.
+
+    Port of NeMo's NeuralDiarizer flow (time_based_diarization.py:20-117
+    runs it via `diar_msdd_telephonic`): embed the session at K scales,
+    map every base-scale (finest) segment to its nearest coarser-scale
+    segment to build ms_emb_seq, average cluster embeddings per scale from
+    the initial labels, score every speaker pair with the MSDD and average
+    each speaker's sigmoid over its pairs. Returns a speaker-activity
+    matrix [S, total_frames] at 10 ms resolution (multi-label: overlapped
+    frames can be active for several speakers).
+    """
+    total = len(concat)
+    scale_data = []   # (starts, centers, embs) per scale, base last
+    for w_sec, h_sec in zip(MSDD_SCALES, MSDD_HOPS):
+        win, hop = int(w_sec * sr), int(h_sec * sr)
+        starts = []
+        for s0 in range(0, max(total - win, 1), hop):
+            f0 = int(s0 / sr / VAD_TIME_RESOLUTION)
+            f1 = int((s0 + win) / sr / VAD_TIME_RESOLUTION)
+            if vad[f0:f1].mean() > 0.3:
+                starts.append(s0)
+        if not starts:
+            starts = [0]
+        emb = _embed_windows(concat, sr, encoder, starts, win)
+        centers = np.asarray(starts) + win / 2
+        scale_data.append((starts, centers, emb))
+
+    base_starts, base_centers, _ = scale_data[-1]
+    T = len(base_starts)
+    K = len(MSDD_SCALES)
+    D = scale_data[-1][2].shape[1]
+    ms_emb_seq = np.zeros((T, K, D), np.float32)
+    for k, (_, centers, emb) in enumerate(scale_data):
+        idx = np.abs(base_centers[:, None] - centers[None, :]).argmin(axis=1)
+        ms_emb_seq[:, k, :] = emb[idx]
+
+    # initial label per base segment: nearest clustering window
+    c_centers = np.asarray(cluster_starts) + int(1.5 * sr) / 2
+    base_lab = cluster_labels[
+        np.abs(base_centers[:, None] - c_centers[None, :]).argmin(axis=1)]
+
+    ms_avg = np.zeros((K, D, n_spk), np.float32)
+    for s in range(n_spk):
+        sel = ms_emb_seq[base_lab == s]
+        if len(sel):
+            ms_avg[:, :, s] = sel.mean(axis=0)
+
+    # score speaker pairs (NeMo runs S=2 pairs and averages per speaker)
+    pair_probs = np.zeros((T, n_spk), np.float32)
+    pair_counts = np.zeros(n_spk, np.float32)
+    pairs = [(i, j) for i in range(n_spk) for j in range(i + 1, n_spk)]
+    n_chunks = int(np.ceil(T / chunk))
+    seq = np.zeros((n_chunks, chunk, K, D), np.float32)
+    for ci in range(n_chunks):
+        seg = ms_emb_seq[ci * chunk:(ci + 1) * chunk]
+        seq[ci, :len(seg)] = seg
+    for i, j in pairs:
+        avg = np.repeat(ms_avg[None, :, :, [i, j]], n_chunks, axis=0)
+        probs = msdd.refine(seq, avg)                   # [n_chunks, chunk, 2]
+        probs = probs.reshape(n_chunks * chunk, 2)[:T]
+        pair_probs[:, i] += probs[:, 0]
+        pair_probs[:, j] += probs[:, 1]
+        pair_counts[i] += 1
+        pair_counts[j] += 1
+    pair_probs /= np.maximum(pair_counts[None, :], 1)
+
+    total_frames = int(np.ceil(total / sr / VAD_TIME_RESOLUTION))
+    spk_vad = np.zeros((n_spk, total_frames))
+    win_b = int(MSDD_SCALES[-1] * sr)
+    active = pair_probs > threshold
+    # guarantee the argmax speaker stays active (NeMo keeps the clustering
+    # speaker when the sigmoid is under threshold everywhere)
+    active[np.arange(T), pair_probs.argmax(axis=1)] = True
+    for t, s0 in enumerate(base_starts):
+        f0 = int(round(s0 / sr / VAD_TIME_RESOLUTION))
+        f1 = int(round((s0 + win_b) / sr / VAD_TIME_RESOLUTION))
+        for s in range(n_spk):
+            if active[t, s]:
+                spk_vad[s, f0:f1] = 1
+    spk_vad[:, :len(vad)] *= vad[None, :total_frames]
+    return spk_vad
+
+
 def diarize_streams(wavs: List[np.ndarray], sr: int, encoder,
                     window_sec: float = 1.5, hop_sec: float = 0.75,
                     vad_fn: Optional[Callable] = None,
-                    max_num_speakers: int = 8) -> np.ndarray:
-    """Concatenated-stream clustering -> [C, S, T] speaker-VAD tensor."""
+                    max_num_speakers: int = 8,
+                    msdd=None, msdd_threshold: float = 0.7) -> np.ndarray:
+    """Concatenated-stream clustering -> [C, S, T] speaker-VAD tensor.
+
+    msdd: optional OverlapDecoder — when given, the clustering
+    initialization is refined into overlap-aware per-speaker activity
+    (the reference's `nmesc_msdd` NeuralDiarizer mode)."""
     vad_fn = vad_fn or energy_vad
     concat = np.concatenate(wavs)
     channel_len = max(len(w) for w in wavs)
@@ -72,35 +190,24 @@ def diarize_streams(wavs: List[np.ndarray], sr: int, encoder,
     if not starts:
         starts = [0]
 
-    batch = np.zeros((len(starts), win), np.float32)
-    lengths = np.full(len(starts), win, np.int32)
-    for i, s0 in enumerate(starts):
-        seg = concat[s0:s0 + win]
-        batch[i, :len(seg)] = seg
-        lengths[i] = max(len(seg), 1)
-    embs = []
-    bs = 64
-    for i in range(0, len(starts), bs):
-        chunk = batch[i:i + bs]
-        ln = lengths[i:i + bs]
-        if len(chunk) < bs:
-            chunk = np.pad(chunk, ((0, bs - len(chunk)), (0, 0)))
-            ln = np.pad(ln, (0, bs - len(ln)), constant_values=1)
-        embs.append(encoder.embed(chunk, ln)[:min(bs, len(starts) - i)])
-    emb = np.concatenate(embs, axis=0)
+    emb = _embed_windows(concat, sr, encoder, starts, win)
 
     labels = run_clustering(cos_affinity_matrix(emb),
                             max_num_speakers=max_num_speakers)
     n_spk = int(labels.max()) + 1 if len(labels) else 1
 
     total_frames = int(np.ceil(total / sr / VAD_TIME_RESOLUTION))
-    spk_vad = np.zeros((n_spk, total_frames))
-    for s0, lab in zip(starts, labels):
-        f0 = int(round(s0 / sr / VAD_TIME_RESOLUTION))
-        f1 = int(round((s0 + win) / sr / VAD_TIME_RESOLUTION))
-        spk_vad[int(lab), f0:f1] = 1
-    # restrict to speech frames
-    spk_vad[:, :len(vad)] *= vad[None, :total_frames]
+    if msdd is not None and n_spk >= 2:
+        spk_vad = msdd_refine(concat, sr, encoder, msdd, starts, labels,
+                              vad, n_spk, threshold=msdd_threshold)
+    else:
+        spk_vad = np.zeros((n_spk, total_frames))
+        for s0, lab in zip(starts, labels):
+            f0 = int(round(s0 / sr / VAD_TIME_RESOLUTION))
+            f1 = int(round((s0 + win) / sr / VAD_TIME_RESOLUTION))
+            spk_vad[int(lab), f0:f1] = 1
+        # restrict to speech frames
+        spk_vad[:, :len(vad)] *= vad[None, :total_frames]
 
     # split the global timeline back into per-channel tensors
     C = len(wavs)
@@ -185,10 +292,45 @@ def resolve_frame_vad(cfg: DiarizationCfg) -> Optional[Callable]:
     return None
 
 
+_MSDD_CACHE: dict = {}
+
+
+def resolve_overlap_decoder(cfg: DiarizationCfg):
+    """Load the MSDD named by cfg.msdd_model_name under NOTSOFAR_MODELS_DIR
+    (or an absolute path). Returns None when no checkpoint is mounted —
+    `nmesc_msdd` then degrades to the plain clustering recipe with a log
+    (the reference's NeuralDiarizer pulls diar_msdd_telephonic from NGC,
+    time_based_diarization.py:20-117)."""
+    import os
+    name = cfg.msdd_model_name
+    if not name:
+        return None
+    if name in _MSDD_CACHE:
+        return _MSDD_CACHE[name]
+    candidates = []
+    if os.path.isabs(name):
+        candidates.append(name)
+    root = os.environ.get("NOTSOFAR_MODELS_DIR")
+    if root:
+        candidates += [os.path.join(root, f"{name}.nemo"),
+                       os.path.join(root, name)]
+    for cand in candidates:
+        if os.path.exists(cand):
+            from notsofar_tpu.models.msdd import OverlapDecoder
+            _LOG.info(f"loading MSDD from {cand}")
+            _MSDD_CACHE[name] = OverlapDecoder.from_checkpoint(cand)
+            return _MSDD_CACHE[name]
+    _LOG.info(f"MSDD model '{name}' not mounted — falling back to plain "
+              "nmesc clustering")
+    _MSDD_CACHE[name] = None
+    return None
+
+
 def time_based_diarization(wav_files_sorted, segments_df: pd.DataFrame,
                            output_dir: str, cfg: DiarizationCfg,
-                           encoder=None, vad_fn=None) -> pd.DataFrame:
-    """Native equivalent of the NeMo nmesc recipe dispatch
+                           encoder=None, vad_fn=None,
+                           msdd=None) -> pd.DataFrame:
+    """Native equivalent of the NeMo nmesc / nmesc_msdd recipe dispatch
     (time_based_diarization.py:163-174)."""
     srs_wavs = [read_wav(f, normalize=True, return_rate=True)
                 for f in wav_files_sorted]
@@ -199,6 +341,8 @@ def time_based_diarization(wav_files_sorted, segments_df: pd.DataFrame,
         encoder = resolve_speaker_encoder(cfg)
     if vad_fn is None:
         vad_fn = resolve_frame_vad(cfg)
-    spk_vad = diarize_streams(wavs, sr, encoder, vad_fn=vad_fn)
+    if msdd is None and cfg.method == "nmesc_msdd":
+        msdd = resolve_overlap_decoder(cfg)
+    spk_vad = diarize_streams(wavs, sr, encoder, vad_fn=vad_fn, msdd=msdd)
     return assign_words_to_speakers(segments_df, spk_vad,
                                     cfg.apply_deduplication)
