@@ -291,3 +291,89 @@ def test_scoring_cli(tmp_path, capsys):
     main(["tcorcwer", "-r", str(rp), "-H", str(hp), "--normalizer", "none"])
     out = json.loads(capsys.readouterr().out)
     assert out["errors"] > 0
+
+
+# ---------------------------------------------------------------------------
+# exact block-decomposed tcORC golden (utils/scoring/exact_orc.py)
+# ---------------------------------------------------------------------------
+
+def _random_session(rng, U, S, words, overlap_rate=0.3, max_gap=3.0):
+    """Meeting-ish session: mostly sequential turns, occasional overlap."""
+    ref_segs, hyp_segs = [], []
+    t = 0.0
+    for u in range(U):
+        if rng.rand() < overlap_rate and u > 0:
+            t -= float(rng.rand() * 1.5)     # overlap the previous turn
+        else:
+            t += float(rng.rand() * max_gap)
+        dur = 1.0 + float(rng.rand() * 2)
+        n = int(rng.randint(1, 5))
+        ws = [words[rng.randint(len(words))] for _ in range(n)]
+        ref_segs.append(_seg("s", f"spk{u % 4}", t, t + dur, " ".join(ws)))
+        hw = [w for w in ws if rng.rand() > 0.15]
+        if rng.rand() < 0.25:
+            hw.append(words[rng.randint(len(words))])
+        if hw:
+            j = int(rng.randint(S))
+            jit = float(rng.rand() * 0.5)
+            hyp_segs.append(_seg("s", f"st{j}", t + jit, t + dur + jit,
+                                 " ".join(hw)))
+        t += dur
+    return SegLst(ref_segs), SegLst(hyp_segs)
+
+
+def test_exact_orc_matches_bruteforce_small():
+    """The block-decomposed exact scorer must equal the S^U brute force."""
+    from notsofar_tpu.utils.scoring.exact_orc import tcorc_wer_exact
+    rng = np.random.RandomState(21)
+    words = ["a", "b", "c", "d"]
+    for case in range(30):
+        S = int(rng.randint(2, 4))
+        U = int(rng.randint(2, 7))
+        ref, hyp = _random_session(rng, U, S, words, overlap_rate=0.5,
+                                   max_gap=1.0)
+        exact = tcorc_wer_exact(ref, hyp, collar=2.0, max_block_utts=8)
+        brute = _tcorc_exact_errors(ref, hyp, collar=2.0)
+        assert exact["errors"] == brute, \
+            f"case {case}: block-exact {exact['errors']} != brute {brute}"
+
+
+def test_production_tcorc_matches_exact_long_sessions():
+    """Certify the production local-search tcORC against the exact golden
+    on sessions far beyond brute-force reach (U up to 40; brute force
+    would be S^40)."""
+    from notsofar_tpu.utils.scoring.exact_orc import tcorc_wer_exact
+    rng = np.random.RandomState(33)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    mismatches = []
+    scored = 0
+    for case in range(12):
+        S = int(rng.randint(2, 4))
+        U = int(rng.randint(25, 41))
+        # max_gap 30 s: pauses regularly exceed 2*collar, cutting the
+        # session into exactly-scorable blocks while overlap_rate keeps
+        # the within-block assignment problems non-trivial
+        ref, hyp = _random_session(rng, U, S, words, overlap_rate=0.3,
+                                   max_gap=30.0)
+        try:
+            exact = tcorc_wer_exact(ref, hyp, collar=5.0,
+                                    max_block_utts=10)["errors"]
+        except ValueError:
+            continue   # block too dense for exact scoring — skip case
+        scored += 1
+        got = tcorc_wer(ref, hyp, collar=5)["errors"]
+        assert got >= exact  # production is an upper bound by construction
+        if got != exact:
+            mismatches.append((case, got, exact))
+    assert scored >= 8, f"only {scored} sessions were exactly scorable"
+    assert not mismatches, f"production above exact optimum on: {mismatches}"
+
+
+def test_exact_orc_block_guard():
+    """Dense all-overlapping sessions must raise, not silently mis-score."""
+    from notsofar_tpu.utils.scoring.exact_orc import tcorc_wer_exact
+    ref = SegLst([_seg("s", f"spk{u}", 0.0, 2.0, "a b") for u in range(9)])
+    hyp = SegLst([_seg("s", "st0", 0.0, 2.0, "a b"),
+                  _seg("s", "st1", 0.0, 2.0, "a b")])
+    with pytest.raises(ValueError):
+        tcorc_wer_exact(ref, hyp, collar=5.0, max_block_utts=4)
