@@ -263,3 +263,37 @@ def test_separate_cli(tmp_path, monkeypatch, capsys):
     for p in outs:
         w = read_wav(p)
         assert len(w) > 0 and np.isfinite(w).all()
+
+
+def test_full_pipeline_real_transcriber(tmp_path):
+    """End-to-end with the REAL WhisperTranscriber (random tiny weights —
+    no checkpoint mounted), closing the seam the stub-based tests leave:
+    inference_pipeline -> asr.inference -> transcribe_batch -> decoding ->
+    word timestamps -> diarization -> hyp jsons all on real code."""
+    meetings = tmp_path / "MTG"
+    make_meeting(meetings, seconds=3)
+    models_dir = tmp_path / "models"
+    make_sc_css_model(models_dir)
+
+    cfg = InferenceCfg()
+    cfg.asr.model_name = "tiny"
+    cfg.asr.max_new_tokens = 12    # random-weight decode; keep CPU cost low
+    cfg.diarization.method = "by_wav_file_name"
+    cfg.css.seg_bucket_multiple = 4
+
+    out_dir = tmp_path / "out"
+    wer_df = inference_pipeline(str(meetings), str(models_dir), str(out_dir),
+                                cfg, FetchFromCacheCfg())
+
+    sid = "singlechannel/MTG_9001_sc0"
+    assert (out_dir / "asr" / sid / "tiny" / "all_segments_df.pkl").exists()
+    assert (out_dir / "wer" / sid / "tcp_wer_hyp.json").exists()
+    df = pd.read_pickle(out_dir / "asr" / sid / "tiny" / "all_segments_df.pkl")
+    # transcripts are random-model noise; the contract is structural
+    for _, row in df.iterrows():
+        assert row.end_time >= row.start_time >= 0
+        for w in row.word_timing:
+            assert w[2] >= w[1] >= 0
+    # with GT present the scorer always produces a (possibly >1) WER row
+    assert wer_df is not None and len(wer_df) == 1
+    assert np.isfinite(wer_df.tcp_wer.iloc[0])

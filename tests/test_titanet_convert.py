@@ -40,27 +40,27 @@ def synth_nemo_state_dict(rng, cfg: TitaNetConfig, n_mels=80):
             sd[f"{p}.res.0.1.running_mean"] = np.zeros(c_out)
             sd[f"{p}.res.0.1.running_var"] = np.ones(c_out)
 
-    block(0, n_mels, CFG.filters, CFG.prologue_kernel, 1, residual=False)
-    c = CFG.filters
-    for bi, k in enumerate(CFG.block_kernels):
-        block(1 + bi, c, CFG.filters, k, CFG.block_repeat, residual=True)
-    block(1 + len(CFG.block_kernels), CFG.filters, CFG.epilogue_filters, 1,
+    block(0, n_mels, cfg.filters, cfg.prologue_kernel, 1, residual=False)
+    c = cfg.filters
+    for bi, k in enumerate(cfg.block_kernels):
+        block(1 + bi, c, cfg.filters, k, cfg.block_repeat, residual=True)
+    block(1 + len(cfg.block_kernels), cfg.filters, cfg.epilogue_filters, 1,
           1, residual=False)
 
     sd["decoder._pooling.attention_layer.0.conv.weight"] = \
-        rng.randn(CFG.attention_dim, CFG.epilogue_filters, 1) * 0.1
+        rng.randn(cfg.attention_dim, cfg.epilogue_filters, 1) * 0.1
     sd["decoder._pooling.attention_layer.0.conv.bias"] = \
-        np.zeros(CFG.attention_dim)
+        np.zeros(cfg.attention_dim)
     sd["decoder._pooling.attention_layer.2.conv.weight"] = \
-        rng.randn(CFG.epilogue_filters, CFG.attention_dim, 1) * 0.1
+        rng.randn(cfg.epilogue_filters, cfg.attention_dim, 1) * 0.1
     sd["decoder._pooling.attention_layer.2.conv.bias"] = \
-        np.zeros(CFG.epilogue_filters)
+        np.zeros(cfg.epilogue_filters)
     sd["decoder.emb_layers.0.0.weight"] = rng.randn(
-        CFG.emb_dim, CFG.epilogue_filters * 2) * 0.1
-    sd["decoder.emb_layers.0.1.weight"] = np.ones(CFG.emb_dim)
-    sd["decoder.emb_layers.0.1.bias"] = np.zeros(CFG.emb_dim)
-    sd["decoder.emb_layers.0.1.running_mean"] = np.zeros(CFG.emb_dim)
-    sd["decoder.emb_layers.0.1.running_var"] = np.ones(CFG.emb_dim)
+        cfg.emb_dim, cfg.epilogue_filters * 2) * 0.1
+    sd["decoder.emb_layers.0.1.weight"] = np.ones(cfg.emb_dim)
+    sd["decoder.emb_layers.0.1.bias"] = np.zeros(cfg.emb_dim)
+    sd["decoder.emb_layers.0.1.running_mean"] = np.zeros(cfg.emb_dim)
+    sd["decoder.emb_layers.0.1.running_var"] = np.ones(cfg.emb_dim)
     return {k: np.asarray(v, np.float32) for k, v in sd.items()}
 
 

@@ -1,0 +1,259 @@
+"""Turnkey real-weight validation: converters, forwards, one-session WER.
+
+The zero-egress build environment has no real checkpoints, so every
+converter in this repo is structurally tested only. The FIRST time real
+weights are mounted, this script validates everything in one command:
+
+    python tools/validate_real_weights.py \
+        --models-dir  <dir with notsofar/conformer1.0/{mc,sc}, whisper/*.pt> \
+        [--nemo-dir   <dir with titanet_large.nemo, vad_multilingual_marblenet.nemo,
+                       diar_msdd_telephonic.nemo>  (default: --models-dir)] \
+        [--meetings-dir <NOTSOFAR dev-set meetings dir>] \
+        [--session-query '<pandas query>'] \
+        [--out-dir <scratch>]
+
+Per component it prints PASS / SKIP (not mounted) / FAIL:
+  css-mc / css-sc   load (torch .pt auto-converted) + forward sanity; with
+                    --reference-dir pointing at a NOTSOFAR-baseline
+                    checkout and torch installed, exact mask parity of the
+                    converted weights against the executed torch model.
+  whisper           openai .pt conversion + a short transcribe() round trip.
+  titanet           .nemo conversion + embedding sanity (unit self-cosine).
+  marblenet         .nemo conversion + frame-VAD probability sanity.
+  msdd              .nemo conversion + refinement forward sanity.
+  e2e-wer           full pipeline on --meetings-dir sessions; prints the
+                    session tcpWER / tcORC-WER (compare to BASELINE.md:
+                    MC 32.4 / SC 46.8).
+
+Exit code 0 iff nothing FAILed. Smoke-tested end-to-end with synthetic
+checkpoints of every format by tests/test_validate_real_weights.py.
+"""
+import argparse
+import os
+import sys
+import traceback
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RESULTS = []
+
+
+def check(name):
+    def deco(fn):
+        def run(*a, **kw):
+            try:
+                out = fn(*a, **kw)
+                if out is None:
+                    RESULTS.append((name, "SKIP", "not mounted"))
+                    print(f"[SKIP] {name}: not mounted")
+                else:
+                    RESULTS.append((name, "PASS", out))
+                    print(f"[PASS] {name}: {out}")
+            except Exception as e:
+                RESULTS.append((name, "FAIL", f"{type(e).__name__}: {e}"))
+                print(f"[FAIL] {name}: {type(e).__name__}: {e}")
+                traceback.print_exc()
+        return run
+    return deco
+
+
+def _css_dir(models_dir, kind):
+    from pathlib import Path
+    d = Path(models_dir) / "notsofar" / "conformer1.0" / kind
+    return d if d.exists() else None
+
+
+def _check_css(models_dir, kind, reference_dir=None):
+    d = _css_dir(models_dir, kind)
+    if d is None:
+        return None
+    import jax
+    import jax.numpy as jnp
+    from notsofar_tpu.css.inference import load_css_model
+    model, variables, train_cfg = load_css_model(str(d))
+    C = 7 if kind == "mc" else 1
+    rng = np.random.RandomState(0)
+    mix = jnp.asarray(rng.randn(1, 16000, C).astype(np.float32) * 0.1)
+    masks = model.forward(variables, mix)["spk_masks"]
+    m = np.asarray(masks)
+    assert np.isfinite(m).all(), "non-finite masks"
+    assert (m >= 0).all() and (m <= 1).all(), "masks out of [0,1]"
+    detail = f"forward OK, masks {m.shape}, mean {m.mean():.3f}"
+
+    pts = sorted(d.glob("*.pt"))
+    if reference_dir and pts:
+        sys.path.insert(0, str(reference_dir))
+        import torch
+        from css.training.conformer_wrapper import ConformerCssWrapper
+        from css.training.train import TrainCfg as RefTrainCfg
+        from utils.conf import load_yaml_to_dataclass as ref_load
+        yamls = sorted(d.glob("*.yaml"))
+        ref_cfg = ref_load(str(yamls[0]), RefTrainCfg)
+        tm = ConformerCssWrapper(ref_cfg.conformer_css_cfg)
+        sd = torch.load(pts[0], map_location="cpu",
+                        weights_only=False)
+        sd = sd.get("model", sd)
+        sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        tm.load_state_dict(sd)
+        tm.eval()
+        with torch.no_grad():
+            t_stft = tm.stft(torch.from_numpy(np.asarray(mix)))
+            t_masks = tm.separate(t_stft)["spk_masks"].numpy()
+        j_masks = np.asarray(model.separate(
+            variables, jnp.asarray(t_stft.numpy()))["spk_masks"])
+        d_net = float(np.abs(t_masks - j_masks).max())
+        assert d_net < 1e-4, f"converted-weight mask parity {d_net:.2e}"
+        detail += f", torch-parity maxdiff {d_net:.2e}"
+    return detail
+
+
+@check("css-mc")
+def check_css_mc(models_dir, reference_dir):
+    return _check_css(models_dir, "mc", reference_dir)
+
+
+@check("css-sc")
+def check_css_sc(models_dir, reference_dir):
+    return _check_css(models_dir, "sc", reference_dir)
+
+
+@check("whisper")
+def check_whisper(models_dir, model_name):
+    from pathlib import Path
+    found = [p for p in (Path(models_dir) / "whisper" / f"{model_name}.pt",
+                         Path(models_dir) / f"{model_name}.pt")
+             if p.exists()]
+    if not found:
+        return None
+    from notsofar_tpu.asr.inference import load_whisper_model
+    from notsofar_tpu.asr.transcribe import (TranscribeOptions,
+                                             WhisperTranscriber)
+    model, variables, tok, heads = load_whisper_model(model_name, models_dir)
+    tr = WhisperTranscriber(model, variables, tok,
+                            TranscribeOptions(word_timestamps=True,
+                                              alignment_heads=heads,
+                                              max_new_tokens=48))
+    t = np.arange(16000 * 3) / 16000
+    audio = (0.1 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    out = tr.transcribe(audio)
+    assert "segments" in out
+    return (f"dims {model.dims.n_text_layer}L/{model.dims.n_text_state}d, "
+            f"alignment_heads={'yes' if heads else 'fallback'}, "
+            f"transcribe OK ({len(out['segments'])} segments)")
+
+
+@check("titanet")
+def check_titanet(nemo_dir):
+    from pathlib import Path
+    p = Path(nemo_dir) / "titanet_large.nemo"
+    if not p.exists():
+        return None
+    from notsofar_tpu.models.titanet import SpeakerEncoder
+    enc = SpeakerEncoder.from_checkpoint(str(p))
+    rng = np.random.RandomState(0)
+    wavs = (rng.randn(2, 24000) * 0.1).astype(np.float32)
+    emb = enc.embed(wavs, np.array([24000, 16000], np.int32))
+    assert np.isfinite(emb).all()
+    e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    cross = float(e[0] @ e[1])
+    return f"emb dim {emb.shape[1]}, cross-cos {cross:.3f}"
+
+
+@check("marblenet")
+def check_marblenet(nemo_dir):
+    from pathlib import Path
+    p = Path(nemo_dir) / "vad_multilingual_marblenet.nemo"
+    if not p.exists():
+        return None
+    from notsofar_tpu.models.marblenet import FrameVAD
+    vad = FrameVAD.from_checkpoint(str(p))
+    rng = np.random.RandomState(0)
+    wav = (rng.randn(16000 * 4) * 0.1).astype(np.float32)
+    mask = vad(wav, 16000)
+    assert mask.dtype == bool or ((mask >= 0) & (mask <= 1)).all()
+    return f"frame mask len {len(mask)}, speech frac {np.mean(mask):.2f}"
+
+
+@check("msdd")
+def check_msdd(nemo_dir):
+    from pathlib import Path
+    p = Path(nemo_dir) / "diar_msdd_telephonic.nemo"
+    if not p.exists():
+        return None
+    from notsofar_tpu.models.msdd import OverlapDecoder
+    dec = OverlapDecoder.from_checkpoint(str(p))
+    c = dec.cfg
+    rng = np.random.RandomState(0)
+    probs = dec.refine(
+        rng.randn(1, 8, c.n_scales, c.emb_dim).astype(np.float32),
+        rng.randn(1, c.n_scales, c.emb_dim, 2).astype(np.float32))
+    assert probs.shape == (1, 8, 2) and np.isfinite(probs).all()
+    return (f"K={c.n_scales} D={c.emb_dim} hidden={c.hidden} "
+            f"lstm={c.num_lstm_layers}, refine OK")
+
+
+@check("e2e-wer")
+def check_e2e(models_dir, meetings_dir, out_dir, session_query, conf_file):
+    if not meetings_dir:
+        return None
+    from notsofar_tpu.inference_pipeline.inference import (FetchFromCacheCfg,
+                                                           InferenceCfg,
+                                                           inference_pipeline)
+    from notsofar_tpu.utils.conf import load_yaml_to_dataclass
+    cfg = load_yaml_to_dataclass(conf_file, InferenceCfg)
+    cfg.session_query = session_query
+    wer = inference_pipeline(meetings_dir, models_dir, out_dir, cfg,
+                             FetchFromCacheCfg())
+    if wer is None or (hasattr(wer, "__len__") and len(wer) == 0):
+        return "pipeline ran (no GT -> no WER computed)"
+    try:
+        return (f"tcpWER {float(wer['tcp_wer'].mean()):.4f}, "
+                f"tcORC {float(wer['tcorc_wer'].mean()):.4f} "
+                f"over {len(wer)} sessions (baseline MC .324 / SC .468)")
+    except Exception:
+        return f"pipeline ran; result: {wer}"
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models-dir", required=True)
+    ap.add_argument("--nemo-dir", default=None,
+                    help="dir with *.nemo files (default: --models-dir; "
+                         "also sets NOTSOFAR_MODELS_DIR for the pipeline)")
+    ap.add_argument("--meetings-dir", default=None)
+    ap.add_argument("--out-dir", default="./validate_out")
+    ap.add_argument("--session-query",
+                    default="is_mc == True ##and index<1##")
+    ap.add_argument("--whisper-model", default="large-v3")
+    ap.add_argument("--reference-dir", default=None,
+                    help="optional NOTSOFAR baseline checkout for exact "
+                         "torch mask parity of converted CSS weights")
+    ap.add_argument("--conf",
+                    default=os.path.join(
+                        os.path.dirname(os.path.dirname(
+                            os.path.abspath(__file__))),
+                        "configs/inference/inference_v1.yaml"))
+    args = ap.parse_args(argv)
+    nemo_dir = args.nemo_dir or args.models_dir
+    os.environ.setdefault("NOTSOFAR_MODELS_DIR", str(nemo_dir))
+
+    check_css_mc(args.models_dir, args.reference_dir)
+    check_css_sc(args.models_dir, args.reference_dir)
+    check_whisper(args.models_dir, args.whisper_model)
+    check_titanet(nemo_dir)
+    check_marblenet(nemo_dir)
+    check_msdd(nemo_dir)
+    check_e2e(args.models_dir, args.meetings_dir, args.out_dir,
+              args.session_query, args.conf)
+
+    print("\n=== summary ===")
+    for name, status, detail in RESULTS:
+        print(f"{status:5s} {name}: {detail}")
+    failed = [r for r in RESULTS if r[1] == "FAIL"]
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
