@@ -21,7 +21,45 @@ import time
 import numpy as np
 
 
-def main(audio_seconds: float = 120.0, repeats: int = 6, batch: int = 4):
+def bench_scm_kernel():
+    """On-chip parity + timing of the Pallas masked-SCM kernel vs the XLA
+    einsum formulation (stderr only; VERDICT round-1 item 9)."""
+    import jax
+    import jax.numpy as jnp
+    from notsofar_tpu.ops.mvdr import make_wta, masked_scm
+    from notsofar_tpu.ops.pallas_kernels import masked_scm_pallas
+
+    rng = np.random.RandomState(0)
+    B, F, T, M, S = 8, 257, 186, 7, 3
+    spk = jnp.asarray(rng.rand(B, F, T, S).astype(np.float32))
+    noi = jnp.asarray(rng.rand(B, F, T, 1).astype(np.float32))
+    x = jnp.asarray((rng.randn(B, F, T, M) + 1j * rng.randn(B, F, T, M))
+                    .astype(np.complex64))
+    wta = make_wta(spk, noi)
+    f_ein = jax.jit(masked_scm)
+    f_pal = jax.jit(lambda w, s: masked_scm_pallas(w, s))
+    a = jax.block_until_ready(f_ein(wta, x))
+    b = jax.block_until_ready(f_pal(wta, x))
+    denom = float(jnp.abs(a).max())
+    rel = float(jnp.abs(a - b).max()) / max(denom, 1e-9)
+
+    def time_it(f):
+        best = np.inf
+        for _ in range(5):
+            t0 = time.time()
+            jax.block_until_ready(f(wta, x))
+            best = min(best, time.time() - t0)
+        return best
+
+    t_e, t_p = time_it(f_ein), time_it(f_pal)
+    print(f"masked-SCM on-chip: rel maxdiff {rel:.2e} | "
+          f"einsum {t_e * 1e3:.2f} ms | pallas {t_p * 1e3:.2f} ms "
+          f"({'pallas' if t_p < t_e else 'einsum'} wins)", file=sys.stderr)
+    return rel, t_e, t_p
+
+
+def main(audio_seconds: float = 120.0, repeats: int = 6, batch: int = 4,
+         use_pallas: bool = False):
     from notsofar_tpu.utils.jax_setup import setup_jax
     setup_jax()
     import jax
@@ -33,10 +71,14 @@ def main(audio_seconds: float = 120.0, repeats: int = 6, batch: int = 4):
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
+    if use_pallas:
+        bench_scm_kernel()
+
     import jax.numpy as jnp
     cfg = ConformerCssConfig(
         nnet_conf=NnetConfig(conformer_conf=large_conformer_config()))
-    css_cfg = CssCfg(seg_chunk=8, seg_bucket_multiple=16)
+    css_cfg = CssCfg(seg_chunk=8, seg_bucket_multiple=16,
+                     use_pallas_scm=use_pallas)
     dtype = {"float32": jnp.float32,
              "bfloat16": jnp.bfloat16}[css_cfg.compute_dtype]
     model = CssModel(cfg, dtype=dtype)
@@ -79,4 +121,4 @@ def main(audio_seconds: float = 120.0, repeats: int = 6, batch: int = 4):
 
 
 if __name__ == "__main__":
-    main()
+    main(use_pallas="--pallas" in sys.argv)

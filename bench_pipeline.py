@@ -1,0 +1,250 @@
+"""Full-pipeline RTFx benchmark: CSS -> ASR -> word_nmesc diarization.
+
+Measures the COMPOSED serving throughput on one chip — the BASELINE.md
+north star is pipeline RTFx on MC dev-set-1, not any single stage. The
+load mirrors the shipped baseline system at full scale with random
+weights (identical FLOPs/memory traffic to serving real checkpoints):
+
+  CSS   conformer1.0-large (18L/512d) bf16, batched sessions, MVDR
+  ASR   whisper large-v3 (32L/1280d) bf16, lockstep-batched streams,
+        word-timestamp DTW pass included
+  diar  TitaNet-large embeddings at the 6 shipped scales + NMESC
+        spectral clustering, via the real word_based_clustering path
+        (including the wav re-reads from disk)
+
+Determinism: a random whisper model's sampled tokens would make the seek
+loop (and so the FLOP count) random, so the bench decoder runs the real
+decode scan for a FIXED 80 steps per window (realistic speech density:
+whisper emits ~2.5 tokens/audio-sec) with EOT latching disabled, then
+substitutes a fixed token template (two timestamped segments, ~72 words
+per 30 s window) so segmentation, the DTW word-timestamp pass, and the
+diarization word load all follow the nominal full-window path.
+
+    python bench_pipeline.py [--sessions 4] [--seconds 120]
+
+Prints ONE JSON line {"metric": "pipeline_mc_rtfx", ...}; per-stage
+timings go to stderr.
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def build_template(tok, n_words: int = 72):
+    """Fixed per-window token template: two timestamp-delimited segments
+    ending with a single trailing timestamp (=> full-window seek)."""
+    word = tok.encode(" a")
+    # byte-fallback vocabularies split words into per-byte tokens; keep
+    # the teacher-forced pass within the 448-token decoder context
+    n_words = min(n_words, 170 // max(len(word), 1))
+    half = n_words // 2
+    ts = tok.timestamp_begin
+    tokens = [ts + 0]
+    tokens += word * half
+    tokens += [ts + 700, ts + 700]          # 14.0 s pair
+    tokens += word * (n_words - half)
+    tokens += [ts + 1475]                   # 29.5 s single ending
+    return tokens
+
+
+class BenchDecoder:
+    """Runs the real decode scan for a fixed step count, returns template
+    tokens. FLOP-faithful, control-flow deterministic."""
+
+    def __init__(self, inner, template):
+        self.inner = inner
+        self.template = template
+        inner._eot = inner.model.dims.n_vocab + 1   # never latches -> fixed steps
+
+    def decode(self, variables, xa, prompt=None, **kw):
+        import jax
+        res = self.inner.decode(variables, xa, prompt, **kw)
+        jax.block_until_ready(res["no_speech_prob"])
+        B = xa.shape[0]
+        return dict(tokens=[list(self.template) for _ in range(B)],
+                    avg_logprob=np.full(B, -0.3),
+                    no_speech_prob=np.zeros(B))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sessions", type=int, default=4)
+    ap.add_argument("--seconds", type=float, default=120.0)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--asr-model", default="large-v3")
+    ap.add_argument("--decode-steps", type=int, default=80)
+    args = ap.parse_args()
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from notsofar_tpu.utils.jax_setup import setup_jax
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+
+    from notsofar_tpu.asr.decoding import DecodeOptions, GreedyDecoder
+    from notsofar_tpu.asr.tokenizer import load_tokenizer
+    from notsofar_tpu.asr.transcribe import (TranscribeOptions,
+                                             WhisperTranscriber)
+    from notsofar_tpu.css.engine import CssCfg, CssEngine
+    from notsofar_tpu.diarization.common import DiarizationCfg
+    from notsofar_tpu.diarization.word_based import word_based_clustering
+    from notsofar_tpu.models.css_wrapper import (ConformerCssConfig, CssModel,
+                                                 NnetConfig,
+                                                 large_conformer_config)
+    from notsofar_tpu.models.titanet import SpeakerEncoder, TitaNetConfig
+    from notsofar_tpu.models.whisper import WHISPER_DIMS, WhisperModel
+    from notsofar_tpu.utils.audio import write_wav
+    import pandas as pd
+
+    print(f"device: {jax.devices()[0]}", file=sys.stderr)
+    fs = 16000
+    B, secs = args.sessions, args.seconds
+    total_audio = B * secs
+
+    # ---- CSS engine (identical to bench.py) ------------------------------
+    css_cfg = CssCfg(seg_chunk=8, seg_bucket_multiple=16)
+    cdtype = {"float32": jnp.float32,
+              "bfloat16": jnp.bfloat16}[css_cfg.compute_dtype]
+    cmodel = CssModel(ConformerCssConfig(
+        nnet_conf=NnetConfig(conformer_conf=large_conformer_config())),
+        dtype=cdtype)
+    engine = CssEngine(cmodel, cmodel.init(jax.random.PRNGKey(0)), css_cfg)
+
+    # ---- ASR (large-v3 dims, bf16, lockstep batch) -----------------------
+    dims = WHISPER_DIMS[args.asr_model]
+    wmodel = WhisperModel(dims, dtype=jnp.bfloat16)
+    wvars = wmodel.init(jax.random.PRNGKey(1))
+    tok = load_tokenizer(args.asr_model, dims.n_vocab)
+    opts = TranscribeOptions(
+        word_timestamps=True, lockstep_decode=True,
+        condition_on_previous_text=False,
+        hallucination_silence_threshold=None,  # compute-neutral; keeps the
+        # random-weight control flow on the nominal full-window path
+        no_speech_threshold=None,
+        max_new_tokens=args.decode_steps)
+    transcriber = WhisperTranscriber(wmodel, wvars, tok, opts)
+    template = build_template(tok)
+    transcriber.decoder = BenchDecoder(
+        GreedyDecoder(wmodel, tok,
+                      DecodeOptions(max_new_tokens=args.decode_steps)),
+        template)
+
+    # ---- diarization (TitaNet-large dims, shipped 6 scales) --------------
+    encoder = SpeakerEncoder(TitaNetConfig())   # titanet_large dims
+    diar_cfg = DiarizationCfg(
+        method="word_nmesc",
+        min_embedding_windows=[3.0, 2.5, 2.0, 1.5, 1.0, 0.5])
+
+    rng = np.random.RandomState(0)
+    mixes = [(rng.randn(1, int(secs * fs), 7) * 0.1).astype(np.float32)
+             for _ in range(B)]
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipe_")
+
+    import faulthandler
+    import threading
+
+    def _watchdog():
+        while True:
+            time.sleep(120)
+            print("--- watchdog stack dump ---", file=sys.stderr, flush=True)
+            faulthandler.dump_traceback(file=sys.stderr)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
+    def run(tag):
+        stage_t = {}
+        t0 = time.time()
+        per_session_wavs = engine.separate_sessions_batch(mixes, fs)
+        stage_t["css"] = time.time() - t0
+        print(f"{tag}: css done in {stage_t['css']:.1f}s", file=sys.stderr,
+              flush=True)
+
+        # flatten to 3B streams; lockstep ASR across ALL sessions
+        t0 = time.time()
+        streams = [w for wavs in per_session_wavs for w in wavs]
+        results = transcriber.transcribe_batch(streams)
+        stage_t["asr"] = time.time() - t0
+        ph = {k: round(v, 2) for k, v in
+              transcriber.last_phase_timer.stage_seconds.items()}
+        print(f"{tag}: asr done in {stage_t['asr']:.1f}s {ph}",
+              file=sys.stderr, flush=True)
+
+        t0 = time.time()
+        # diarization word load: deterministic synthetic timings at the
+        # template's word density (a random-weight model's DTW can collapse
+        # word times, which would make the diar load run-dependent); the
+        # per-word compute is identical to real serving. `results` is only
+        # sanity-checked — its DTW cost was paid in the ASR stage above.
+        assert all("segments" in r for r in results)
+        words_per_sec = 2.4
+        labels = []
+        for si in range(B):
+            wav_files = []
+            rows = []
+            for ci in range(3):
+                path = os.path.join(tmp, f"s{si}_c{ci}.wav")
+                write_wav(path, per_session_wavs[si][ci], fs,
+                          max_norm=False)
+                wav_files.append(path)
+                n_words = int(secs * words_per_sec)
+                step = secs / n_words
+                for seg_start in np.arange(0.0, secs, 15.0):
+                    seg_end = min(seg_start + 15.0, secs)
+                    wt = [[" a", round(t, 2), round(min(t + 0.3, secs), 2)]
+                          for t in np.arange(seg_start, seg_end, step)]
+                    rows.append(dict(
+                        start_time=seg_start, end_time=seg_end,
+                        text=" a" * len(wt), word_timing=wt,
+                        meeting_id="MTG_B", session_id=f"mc/MTG_B_{si}",
+                        wav_file_name=path))
+            df = pd.DataFrame(rows)
+            df["wav_file_name"] = df["wav_file_name"].astype("category")
+            df["wav_file_name_ind"] = df["wav_file_name"].cat.codes
+            out = word_based_clustering(wav_files, df, diar_cfg,
+                                        encoder=encoder)
+            labels.append(out)
+        dph = {k: round(v, 2) for k, v in
+               word_based_clustering.last_phase_timer.stage_seconds.items()}
+        print(f"{tag}: diar last-session phases {dph}", file=sys.stderr,
+              flush=True)
+        stage_t["diar"] = time.time() - t0
+
+        wall = sum(stage_t.values())
+        n_words = sum(len(w) for out in labels
+                      for w in out["word_timing"])
+        print(f"{tag}: css {stage_t['css']:.2f}s "
+              f"({total_audio / stage_t['css']:.0f}x) | "
+              f"asr {stage_t['asr']:.2f}s "
+              f"({total_audio / stage_t['asr']:.0f}x) | "
+              f"diar {stage_t['diar']:.2f}s "
+              f"({total_audio / stage_t['diar']:.0f}x) | "
+              f"total {wall:.2f}s -> {total_audio / wall:.1f}x RT "
+              f"[{n_words} diarized words]", file=sys.stderr)
+        return total_audio / wall
+
+    t0 = time.time()
+    run("warmup")
+    print(f"warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    best = 0.0
+    for i in range(args.repeats):
+        rtfx = run(f"run{i}")
+        if i >= 1 and min(rtfx, best) > 0.95 * max(rtfx, best):
+            best = max(best, rtfx)
+            break
+        best = max(best, rtfx)
+
+    print(json.dumps({
+        "metric": "pipeline_mc_rtfx", "value": round(best, 2),
+        "unit": "audio_sec/sec/chip", "sessions": B, "seconds": secs,
+        "asr_model": args.asr_model, "vs_baseline": round(best / 50.0, 3)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -291,8 +291,64 @@ def median_filter(x: np.ndarray, width: int = 7) -> np.ndarray:
     return np.median(win, axis=-1)
 
 
+_DTW_LIB = None
+_DTW_TRIED = False
+
+
+def _load_dtw_native():
+    """ctypes-load native/libdtw.so, building it with make on first use
+    (same pattern as the tclev scorer kernel); None -> numpy fallback."""
+    global _DTW_LIB, _DTW_TRIED
+    if _DTW_TRIED:
+        return _DTW_LIB
+    _DTW_TRIED = True
+    import ctypes
+    import os
+    import subprocess
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "native")
+    so_path = os.path.join(native_dir, "libdtw.so")
+    try:
+        subprocess.run(["make", "-C", native_dir, "libdtw.so"], check=True,
+                       capture_output=True)
+    except Exception:
+        if not os.path.exists(so_path):
+            return None
+    try:
+        lib = ctypes.CDLL(so_path)
+        lib.dtw_path.restype = ctypes.c_int64
+        lib.dtw_path.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+        _DTW_LIB = lib
+    except OSError:
+        _DTW_LIB = None
+    return _DTW_LIB
+
+
 def dtw_path(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
-    """Monotonic DTW over cost [N, M]; returns the alignment path."""
+    """Monotonic DTW over cost [N, M]; returns the alignment path.
+
+    Native C++ kernel (native/dtw.cpp) when buildable — the interpreted DP
+    below is ~0.5 s per 30 s window on a single-core host, which dominated
+    the ASR stage; the kernel is ~1 ms with identical tie-breaking."""
+    N, M = cost.shape
+    lib = _load_dtw_native()
+    if lib is not None and N > 0 and M > 0:
+        import ctypes
+        c = np.ascontiguousarray(cost, np.float32)
+        ti = np.empty(N + M, np.int32)
+        tj = np.empty(N + M, np.int32)
+        n = lib.dtw_path(
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), N, M,
+            ti.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            tj.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return ti[:n].astype(np.int64), tj[:n].astype(np.int64)
+    return _dtw_path_numpy(cost)
+
+
+def _dtw_path_numpy(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Reference numpy DP (fallback when g++ is unavailable)."""
     N, M = cost.shape
     D = np.full((N + 1, M + 1), np.inf)
     D[0, 0] = 0
@@ -405,6 +461,87 @@ def merge_punctuations(words: List[Dict],
     return [w for w in ws if w["word"]]
 
 
+_TF_JIT_CACHE: dict = {}
+
+
+def _alignment_jit(model, heads_key, eot: int):
+    """Cached jitted BATCHED teacher-forced alignment pass.
+
+    Runs the decoder teacher-forced AND the whisper timing post-processing
+    (head selection, per-frame z-norm over the real token rows, width-7
+    median filter per head, head mean) plus the per-token probability
+    gather ON DEVICE — transferring raw cross-attention to the host would
+    move ~0.5 GB per 30 s window on large models; the reduced outputs are
+    ~1.5 MB/window. The median filter sees the full 1500-frame width
+    (whisper slices to the content extent first); for full windows this is
+    identical, for a stream's final partial window it can shift values
+    within 3 frames of the content cut — sub-timestamp-resolution.
+
+    The no-sidecar default selects ALL heads of the top half of the layers
+    (whisper's own fallback) — that is ~320 head-maps on large-v3, so the
+    per-head pipeline accumulates LAYER BY LAYER (exact: z-norm and median
+    are per-head, the final matrix is a plain head-mean), keeping peak
+    memory at one layer's attention instead of the full stack.
+
+    Returns (dtw_matrix [B, L, 1500], next_token_probs [B, L-1])."""
+    key = (id(model), heads_key, eot)
+    fn = _TF_JIT_CACHE.get(key)
+    if fn is None:
+        import jax
+        kind, sel = heads_key
+
+        def median7(x):  # [..., F] -> width-7 median along F, edge padded
+            pad = [(0, 0)] * (x.ndim - 1) + [(3, 3)]
+            xp = jnp.pad(x, pad, mode="edge")
+            win = jnp.stack([xp[..., k:k + x.shape[-1]] for k in range(7)],
+                            0)
+            return jnp.median(win, axis=0)
+
+        def znorm_median(w, n_real):
+            # w: [B, H, T, F]; z-norm per (head, frame) over real token
+            # rows, then median-filter along frames; -> sum over heads
+            mask = (jnp.arange(w.shape[-2])[None, :] <
+                    n_real[:, None])[:, None, :, None]
+            cnt = jnp.maximum(n_real, 1).astype(jnp.float32)[
+                :, None, None, None]
+            mean = jnp.sum(jnp.where(mask, w, 0.0), -2, keepdims=True) / cnt
+            var = jnp.sum(jnp.where(mask, (w - mean) ** 2, 0.0), -2,
+                          keepdims=True) / cnt
+            wn = (w - mean) / (jnp.sqrt(var) + 1e-9)
+            return median7(wn).sum(axis=1)              # [B, T, F]
+
+        def run(variables, toks, xa, n_real):
+            # toks [B, L], xa [B, 1500, D], n_real [B]
+            logits, _, cross = model.decoder.apply(
+                variables["decoder"], toks, xa, 0, None,
+                return_cross_attn=True)
+            if kind == "heads":
+                per_layer = {}
+                for l, h in sel:
+                    per_layer.setdefault(l, []).append(h)
+                acc = 0.0
+                for l, hs in per_layer.items():
+                    acc = acc + znorm_median(
+                        cross[l][:, jnp.asarray(hs)], n_real)
+                matrix = acc / len(sel)
+            else:
+                acc = 0.0
+                n_heads = 0
+                for i in sel:
+                    acc = acc + znorm_median(cross[i], n_real)
+                    n_heads += cross[i].shape[1]
+                matrix = acc / n_heads                   # [B, T, F]
+            probs = jax.nn.softmax(logits[..., :eot], axis=-1)
+            nxt = jnp.clip(toks[:, 1:], 0, eot - 1)
+            tok_probs = jnp.take_along_axis(probs[:, :-1], nxt[..., None],
+                                            2)[..., 0]
+            return matrix, tok_probs
+
+        fn = jax.jit(run)
+        _TF_JIT_CACHE[key] = fn
+    return fn
+
+
 def find_word_timestamps(model: WhisperModel, variables,
                          tokenizer: WhisperTokenizer,
                          xa_single: jnp.ndarray,
@@ -428,49 +565,102 @@ def find_word_timestamps(model: WhisperModel, variables,
     all heads of the last half of the layers are used (whisper's own
     default for models without a mask).
     """
+    return find_word_timestamps_batch(
+        model, variables, tokenizer, [xa_single], [text_tokens],
+        [num_frames], [time_offset], alignment_layers=alignment_layers,
+        alignment_heads=alignment_heads, merge=merge)[0]
+
+
+# sub-batch cap for the all-heads (no-sidecar) path: one layer's attention
+# is [B, n_head, L, 1500] f32, live a few layers deep during accumulation
+_ALIGN_MAX_BS_LAYERS = 8
+_ALIGN_MAX_BS_HEADS = 16
+
+
+def find_word_timestamps_batch(model: WhisperModel, variables,
+                               tokenizer: WhisperTokenizer,
+                               xa_list: List[jnp.ndarray],
+                               text_tokens_list: List[List[int]],
+                               num_frames_list: List[int],
+                               time_offsets: Optional[List[float]] = None,
+                               alignment_layers: Optional[List[int]] = None,
+                               alignment_heads: Optional[List[Tuple[int, int]]]
+                               = None, merge: bool = True
+                               ) -> List[List[Dict]]:
+    """Batched find_word_timestamps over many (window, tokens) pairs.
+
+    The lockstep transcriber calls this once per iteration for every active
+    stream: one teacher-forced dispatch per token-length bucket instead of
+    one per stream — per-dispatch latency over a device tunnel dominated
+    the word-timestamp stage otherwise. Items are bucketed by padded token
+    length (eot-padding; causality keeps real prefix rows bit-identical)
+    and chunked to bound cross-attention memory."""
     d = model.dims
     if alignment_heads:
         alignment_layers = sorted({l for l, _ in alignment_heads})
     elif alignment_layers is None:
         alignment_layers = list(range(d.n_text_layer // 2, d.n_text_layer))
-    full = tokenizer.sot_sequence + [tokenizer.no_timestamps] + \
-        list(text_tokens) + [tokenizer.eot]
-    toks = jnp.asarray(np.asarray(full, np.int32)[None])
-    logits, _, cross = model.decoder.apply(
-        variables["decoder"], toks, xa_single, 0, None,
-        return_cross_attn=True)
-    # per-token probabilities under the text-vocab-restricted softmax
-    # (whisper timing.find_alignment: logits[..., :eot].softmax), used for
-    # word probability = mean over its tokens — feeds the hallucination
-    # anomaly score in transcribe.py.
+    if time_offsets is None:
+        time_offsets = [0.0] * len(xa_list)
+    heads_key = (("heads", tuple((int(l), int(h))
+                                 for l, h in alignment_heads))
+                 if alignment_heads else
+                 ("layers", tuple(int(i) for i in alignment_layers)))
+    max_bs = _ALIGN_MAX_BS_HEADS if alignment_heads else \
+        _ALIGN_MAX_BS_LAYERS
+    fn = _alignment_jit(model, heads_key, int(tokenizer.eot))
+
+    items = []
+    for i, text_tokens in enumerate(text_tokens_list):
+        full = tokenizer.sot_sequence + [tokenizer.no_timestamps] + \
+            list(text_tokens) + [tokenizer.eot]
+        L = len(full)
+        pad_to = min(max(32, 1 << (L - 1).bit_length()), d.n_text_ctx)
+        assert L <= pad_to, f"{L} tokens exceed the decoder context"
+        items.append((pad_to, i, full, L))
+
+    results: List[Optional[List[Dict]]] = [None] * len(xa_list)
+    buckets: Dict[int, list] = {}
+    for it in items:
+        buckets.setdefault(it[0], []).append(it)
+    for pad_to, bucket in sorted(buckets.items()):
+        for c0 in range(0, len(bucket), max_bs):
+            chunk = bucket[c0:c0 + max_bs]
+            B = len(chunk)
+            toks = np.full((B, pad_to), tokenizer.eot, np.int32)
+            n_real = np.zeros(B, np.int32)
+            for j, (_, i, full, L) in enumerate(chunk):
+                toks[j, :L] = full
+                n_real[j] = L
+            xa = jnp.concatenate([xa_list[i] for _, i, _, _ in chunk],
+                                 axis=0)
+            mats, probs = fn(variables, jnp.asarray(toks), xa,
+                             jnp.asarray(n_real))
+            mats = np.asarray(mats)
+            probs = np.asarray(probs)
+            for j, (_, i, full, L) in enumerate(chunk):
+                results[i] = _finish_word_timestamps(
+                    mats[j, :L, :num_frames_list[i] // 2], probs[j],
+                    tokenizer, text_tokens_list[i], num_frames_list[i],
+                    time_offsets[i], merge)
+    return results
+
+
+def _finish_word_timestamps(matrix_full: np.ndarray, tok_probs: np.ndarray,
+                            tokenizer: WhisperTokenizer,
+                            text_tokens: List[int], num_frames: int,
+                            time_offset: float, merge: bool) -> List[Dict]:
+    """Host tail of the alignment: DTW + token->word start times.
+
+    matrix_full: [L, num_frames//2] (already sliced to the real rows and
+    valid frames); tok_probs: next-token probabilities under the
+    text-vocab-restricted softmax (whisper timing.find_alignment), used
+    for word probability = mean over its tokens — feeds the hallucination
+    anomaly score."""
     n_text = len(text_tokens)
-    sot_len_ = len(tokenizer.sot_sequence) + 1
-    if n_text:
-        lg = np.asarray(logits[0, sot_len_ - 1:sot_len_ - 1 + n_text,
-                               :tokenizer.eot], np.float32)
-        lg = lg - lg.max(axis=-1, keepdims=True)
-        probs_all = np.exp(lg)
-        probs_all /= probs_all.sum(axis=-1, keepdims=True)
-        text_token_probs = probs_all[np.arange(n_text),
-                                     np.asarray(text_tokens)]
-    else:
-        text_token_probs = np.zeros(0, np.float32)
-    # stack selected heads (or whole layers): cross[i] is [1, H, T, 1500]
-    if alignment_heads:
-        w = np.stack([np.asarray(cross[l])[0, h]
-                      for l, h in alignment_heads])
-    else:
-        w = np.concatenate([np.asarray(cross[i])
-                            for i in alignment_layers], axis=1)[0]
-    w = w[:, :, : num_frames // 2]          # [H*, T, frames]
-    # normalize across time like whisper: softmax already applied; z-norm
-    std = w.std(axis=-2, keepdims=True) + 1e-9
-    mean = w.mean(axis=-2, keepdims=True)
-    w = (w - mean) / std
-    w = median_filter(w, 7)
-    matrix = w.mean(axis=0)                  # [T, frames]
     sot_len = len(tokenizer.sot_sequence) + 1
-    matrix = matrix[sot_len:-1]              # text tokens + eot? exclude eot
+    text_token_probs = tok_probs[sot_len - 1:sot_len - 1 + n_text]
+    matrix = matrix_full[sot_len:-1]         # text tokens + eot? exclude eot
     if matrix.shape[0] == 0 or matrix.shape[1] == 0:
         return []
     text_idx, time_idx = dtw_path(-matrix)

@@ -101,6 +101,42 @@ def log_mel_spectrogram(audio: jnp.ndarray, n_mels: int = 80,
     return (log_spec + 4.0) / 4.0
 
 
+def log_mel_spectrogram_batch(audio: jnp.ndarray,
+                              valid_frames: jnp.ndarray,
+                              n_mels: int = 80) -> jnp.ndarray:
+    """Batched log_mel_spectrogram over streams of different lengths.
+
+    audio: [B, L_max] with each row holding its stream followed by zeros;
+    valid_frames: [B] — the frame count the per-stream call would produce
+    ((len_b + N_SAMPLES) // HOP_LENGTH). The whisper dynamic-range clamp
+    maxes over the spectrogram, so each row's max is taken over ONLY its
+    valid frames; rows sliced to their own extent are then bit-identical
+    to per-stream calls (trailing batch padding is zeros, exactly what the
+    per-stream call pads with)."""
+    Kr, Ki = (jnp.asarray(m) for m in _stft_matrices())
+    pad = N_FFT // 2
+    x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)],
+                mode="reflect")
+    T = (x.shape[-1] - N_FFT) // HOP_LENGTH + 1
+    idx = np.arange(T)[:, None] * HOP_LENGTH + np.arange(N_FFT)[None, :]
+    frames = x[..., idx]
+    r = jnp.einsum("...tl,fl->...ft", frames, Kr,
+                   preferred_element_type=jnp.float32)
+    i = jnp.einsum("...tl,fl->...ft", frames, Ki,
+                   preferred_element_type=jnp.float32)
+    mag2 = (r * r + i * i)[..., :-1]
+    fb = jnp.asarray(mel_filterbank(n_mels))
+    mel = jnp.einsum("mf,...ft->...mt", fb, mag2,
+                     preferred_element_type=jnp.float32)
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    mask = (jnp.arange(log_spec.shape[-1])[None, :]
+            < valid_frames[:, None])[:, None, :]
+    masked = jnp.where(mask, log_spec, -jnp.inf)
+    maxv = jnp.max(masked, axis=(-2, -1), keepdims=True)
+    log_spec = jnp.maximum(log_spec, maxv - 8.0)
+    return (log_spec + 4.0) / 4.0
+
+
 def pad_or_trim(audio: np.ndarray, length: int = N_SAMPLES) -> np.ndarray:
     """Pad with zeros / trim the last axis to `length` (whisper contract)."""
     if audio.shape[-1] >= length:

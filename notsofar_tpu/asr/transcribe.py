@@ -32,14 +32,16 @@ behavior on constructed token sequences without running a model.
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from notsofar_tpu.asr.decoding import (DecodeOptions, GreedyDecoder,
                                        detect_language, find_word_timestamps,
+                                       find_word_timestamps_batch,
                                        merge_punctuations)
 from notsofar_tpu.asr.mel import (HOP_LENGTH, N_FRAMES, N_SAMPLES,
-                                  SAMPLE_RATE, log_mel_spectrogram)
+                                  SAMPLE_RATE, log_mel_spectrogram_batch)
 from notsofar_tpu.asr.tokenizer import WhisperTokenizer
 from notsofar_tpu.models.whisper import WhisperModel
 from notsofar_tpu.utils.logging_def import get_logger
@@ -453,15 +455,32 @@ class WhisperTranscriber:
         B = len(audios)
         if B == 0:
             return []
+        from notsofar_tpu.utils.profiling import StageTimer
+        timer = self.last_phase_timer = StageTimer()
         streams: List[_Stream] = []
-        for a in audios:
-            a = np.asarray(a, np.float32)
-            mel = np.asarray(log_mel_spectrogram(
-                jnp.asarray(np.pad(a, (0, N_SAMPLES))),
+        with timer.stage("mel"):
+            # one batched dispatch for all streams; row length bucketed to
+            # 30 s multiples to bound recompiles. Rows sliced to their own
+            # frame extent are bit-identical to per-stream calls (the
+            # batched variant maxes each row's dynamic-range clamp over
+            # only its valid frames).
+            arrs = [np.asarray(a, np.float32) for a in audios]
+            lens = [a.size for a in arrs]
+            L_max = max(lens) + N_SAMPLES
+            L_max = int(np.ceil(L_max / N_SAMPLES) * N_SAMPLES)
+            batch = np.zeros((B, L_max), np.float32)
+            for b, a in enumerate(arrs):
+                batch[b, :a.size] = a
+            valid = np.asarray(
+                [(n + N_SAMPLES) // HOP_LENGTH for n in lens], np.int32)
+            mels = np.asarray(log_mel_spectrogram_batch(
+                jnp.asarray(batch), jnp.asarray(valid),
                 n_mels=self.model.dims.n_mels))
-            streams.append(_Stream(
-                audio=a, mel=mel,
-                content_frames=max(mel.shape[-1] - N_FRAMES, 1)))
+            for b, a in enumerate(arrs):
+                mel = mels[b, :, :valid[b]]
+                streams.append(_Stream(
+                    audio=a, mel=mel,
+                    content_frames=max(mel.shape[-1] - N_FRAMES, 1)))
 
         while True:
             active = [b for b in range(B)
@@ -478,7 +497,9 @@ class WhisperTranscriber:
                 s = streams[b]
                 seg = min(N_FRAMES, s.content_frames - s.seek)
                 windows[b, :, :seg] = s.mel[:, s.seek:s.seek + seg]
-            xa_full = self.model.encode(self.variables, jnp.asarray(windows))
+            with timer.stage("encode"):
+                xa_full = jax.block_until_ready(self.model.encode(
+                    self.variables, jnp.asarray(windows)))
             xa = xa_full[active, :, :] if len(active) != B else xa_full
             self._maybe_detect_language(xa[0:1])
 
@@ -487,14 +508,32 @@ class WhisperTranscriber:
                 # one decode scan for all active streams (identical prompts);
                 # the temperature-fallback ladder is per-window and stays on
                 # the serial paths
-                res_all = self.decoder.decode(self.variables, xa_full, None)
+                with timer.stage("decode"):
+                    res_all = self.decoder.decode(self.variables, xa_full,
+                                                  None)
+                pending = []
                 for b in active:
-                    self._consume_window(
+                    pre = self._pre_align(
                         streams[b],
                         dict(tokens=[res_all["tokens"][b]],
                              avg_logprob=res_all["avg_logprob"][b:b + 1],
-                             no_speech_prob=res_all["no_speech_prob"][b:b + 1]),
-                        xa_full[b:b + 1], temperature=0.0)
+                             no_speech_prob=res_all["no_speech_prob"][b:b + 1]))
+                    if pre is not None:
+                        pending.append((b, pre))
+                aligns = [None] * len(pending)
+                if self.opt.word_timestamps and pending:
+                    # ONE bucketed teacher-forced dispatch for all active
+                    # streams' windows (vs one per stream)
+                    with timer.stage("word_ts"):
+                        aligns = find_word_timestamps_batch(
+                            self.model, self.variables, self.tok,
+                            [xa_full[b:b + 1] for b, _ in pending],
+                            [p["text_tokens"] for _, p in pending],
+                            [p["segment_size"] for _, p in pending],
+                            alignment_heads=self.opt.alignment_heads,
+                            merge=False)
+                for (b, pre), al in zip(pending, aligns):
+                    self._post_align(streams[b], pre, al, temperature=0.0)
                 continue
             # condition_on_previous_text requires equal prompts per batch
             # element; decode each active stream against its own prompt only
@@ -505,8 +544,9 @@ class WhisperTranscriber:
                 s = streams[b]
                 prompt = s.all_tokens[s.prompt_reset_since:] \
                     if self.opt.condition_on_previous_text else None
-                res, temp = self._decode_with_fallback(xa[j:j + 1], prompt,
-                                                       salt=s.seek)
+                with timer.stage("decode"):
+                    res, temp = self._decode_with_fallback(
+                        xa[j:j + 1], prompt, salt=s.seek)
                 self._consume_window(s, res, xa[j:j + 1], temperature=temp)
 
         return [dict(text=" ".join(seg["text"].strip()
@@ -520,6 +560,27 @@ class WhisperTranscriber:
         """Apply one decoded window's results to the stream state —
         whisper's per-window block: no-speech skip, segmentation, word
         timestamps, seek rules, prompt-reset."""
+        pre = self._pre_align(s, res)
+        if pre is None:
+            return
+        alignment = None
+        if self.opt.word_timestamps:
+            timer = getattr(self, "last_phase_timer", None)
+            import contextlib
+            with (timer.stage("word_ts") if timer else
+                  contextlib.nullcontext()):
+                alignment = find_word_timestamps(
+                    self.model, self.variables, self.tok, xa_b,
+                    pre["text_tokens"], num_frames=pre["segment_size"],
+                    time_offset=0.0, alignment_heads=self.opt.alignment_heads,
+                    merge=False)
+        self._post_align(s, pre, alignment, temperature)
+
+    def _pre_align(self, s: _Stream, res):
+        """Per-window host logic BEFORE the word-timestamp alignment:
+        no-speech skip + token->segment parsing + provisional seek.
+        Returns None if the window was skipped, else the state dict the
+        alignment and _post_align need."""
         opt = self.opt
         tokens = [int(t) for t in res["tokens"][0]]
         avg_lp = float(res["avg_logprob"][0])
@@ -537,20 +598,33 @@ class WhisperTranscriber:
                 should_skip = False
             if should_skip:
                 s.seek += segment_size
-                return
+                return None
 
         segments, seek_inc, single_ts_ending = parse_segments(
             tokens, self.tok.timestamp_begin, time_offset, segment_size,
             self.tok.decode)
         s.seek += seek_inc
+        text_tokens = [t for seg in segments for t in seg["tokens"]
+                       if t < self.tok.eot]
+        return dict(segments=segments, text_tokens=text_tokens,
+                    previous_seek=previous_seek, segment_size=segment_size,
+                    time_offset=time_offset, window_end_time=window_end_time,
+                    content_duration=content_duration,
+                    single_ts_ending=single_ts_ending)
+
+    def _post_align(self, s: _Stream, pre: Dict, alignment, temperature: float):
+        """Per-window host logic AFTER the alignment: word timestamps,
+        seek rules, segment bookkeeping, prompt-reset."""
+        opt = self.opt
+        segments = pre["segments"]
+        previous_seek = pre["previous_seek"]
+        segment_size = pre["segment_size"]
+        time_offset = pre["time_offset"]
+        window_end_time = pre["window_end_time"]
+        content_duration = pre["content_duration"]
+        single_ts_ending = pre["single_ts_ending"]
 
         if opt.word_timestamps:
-            text_tokens = [t for seg in segments for t in seg["tokens"]
-                           if t < self.tok.eot]
-            alignment = find_word_timestamps(
-                self.model, self.variables, self.tok, xa_b, text_tokens,
-                num_frames=segment_size, time_offset=0.0,
-                alignment_heads=opt.alignment_heads, merge=False)
             add_word_timestamps(segments, alignment, time_offset,
                                 s.last_speech_timestamp, self.tok.eot)
             s.seek, segments, skip_window = apply_seek_rules(

@@ -73,6 +73,9 @@ class CssCfg:
     seg_chunk: int = 8          # windows per Conformer dispatch
     seg_bucket_multiple: int = 16  # num_segments padded to a multiple of this
     compute_dtype: str = "bfloat16"  # Conformer matmul dtype for serving
+    use_pallas_scm: bool = False  # Pallas kernel for the masked-SCM op
+    #   (ops/pallas_kernels.py); default is the XLA einsum — bench.py
+    #   --pallas records the on-chip comparison
     #   ("float32" for strict parity runs; params stay float32 either way)
     batch_sessions: int = 4     # sessions separated per dispatch (the
     #   orchestrator groups same-mic-count sessions; 1 = reference-like)
@@ -209,7 +212,9 @@ class CssEngine:
             masks = self.model.separate(variables, model_in)
             spk_m, noi_m = masks["spk_masks"], masks["noise_masks"]
             if C > 1 and cfg.mc_mvdr:
-                seg_for_masking = mvdr_beamform(spk_m, noi_m, seg_chunk_c)
+                seg_for_masking = mvdr_beamform(
+                    spk_m, noi_m, seg_chunk_c,
+                    use_pallas=cfg.use_pallas_scm)
             else:
                 seg_for_masking = seg_chunk_c[..., 0:1]
             clipped = jnp.clip(spk_m, min=mask_floor)

@@ -106,6 +106,121 @@ class NmescResult:
     g_p: float
 
 
+def _accelerator_available() -> bool:
+    """True when the default JAX backend is an accelerator (TPU here).
+
+    On CPU-only hosts the batched device path degenerates to the same
+    LAPACK loop, so the float64 host path stays the default there."""
+    import os
+    if os.environ.get("NOTSOFAR_NMESC_HOST"):
+        return False
+    try:
+        import jax
+        return jax.devices()[0].platform != "cpu"
+    except Exception:       # jax missing/misconfigured -> host math
+        return False
+
+
+def _eval_candidates(affinity: np.ndarray, candidates: np.ndarray,
+                     max_num_speakers: int):
+    """NME statistics for every pruning candidate p.
+
+    Host path: per-candidate float64 LAPACK eigvalsh (deterministic
+    reference). Device path: ALL candidates' binarization, Laplacian and
+    eigvalsh run as one batched float32 program — the search is ~30
+    independent O(N^3) eigensolves, which on the single-core hosts that
+    front TPU pods takes ~10 s per session; batched on the chip it is a
+    few hundred ms. The eigengap/NME statistics are scale-robust, so f32
+    changes selections only on razor-edge ties (tested vs the host path).
+    """
+    N = affinity.shape[0]
+
+    def eval_host(p):
+        aff_p = binarize_top_p(affinity, int(p))
+        num_spk, lambdas, gaps = estimate_num_speakers(aff_p,
+                                                       max_num_speakers)
+        lambda_max = max(lambdas.max(), 1e-10)
+        max_gap = gaps.max() if len(gaps) else 0.0
+        nme = max_gap / lambda_max
+        g_p = (p / N) / (nme + 1e-10)
+        return NmescResult(num_spk, int(p), float(g_p))
+
+    if not _accelerator_available() or N < 64:
+        return [eval_host(p) for p in candidates]
+
+    lam_small, lam_max = _candidate_eigs_device(affinity, candidates,
+                                                max_num_speakers)
+    out = []
+    for ci, p in enumerate(candidates):
+        lambdas = np.maximum(lam_small[ci], 0.0)
+        gaps = np.diff(lambdas)
+        num_spk = (int(np.argmax(gaps)) + 1) if len(gaps) else 1
+        lmax = max(float(lam_max[ci]), 1e-10)
+        max_gap = gaps.max() if len(gaps) else 0.0
+        nme = max_gap / lmax
+        g_p = (p / N) / (nme + 1e-10)
+        out.append(NmescResult(num_spk, int(p), float(g_p)))
+    return out
+
+
+_EIG_JIT_CACHE: dict = {}
+_PAD_DIAG = 1.0e6       # pad-node Laplacian diagonal; >> any real
+#   eigenvalue (bounded by 2*max degree <= 2N) so pad eigenvalues sort
+#   strictly above every real one
+
+
+def _candidate_eigs_device(affinity: np.ndarray, candidates: np.ndarray,
+                           max_num_speakers: int):
+    """One batched device program: top-p binarize (threshold semantics) +
+    symmetrize + Laplacian + eigvalsh for every candidate.
+
+    Returns (lam_small [P, K+1] smallest eigenvalues ascending,
+    lam_max [P]) as numpy. Ties at the p-th largest per row keep ALL tied
+    entries (argpartition keeps an arbitrary subset) — measure-zero for
+    real embeddings and covered by the parity test.
+
+    Shapes are bucketed: N pads to a multiple of 256 and the candidate
+    list to its nominal volume, so the jit cache stays small across
+    sessions. Pad nodes carry no edges and a huge Laplacian diagonal,
+    placing their eigenvalues strictly above all real ones: the smallest
+    K+1 are untouched and the true maximum is eigenvalue [n_real - 1]."""
+    import jax
+    import jax.numpy as jnp
+
+    N = affinity.shape[0]
+    upper = min(max_num_speakers + 1, N)
+    N_pad = int(np.ceil(N / 256) * 256)
+    P = len(candidates)
+    P_pad = max(P, 30)
+    key = (N_pad, P_pad, upper)
+    fn = _EIG_JIT_CACHE.get(key)
+    if fn is None:
+        def run(aff, cand, n_real):
+            idx = jnp.arange(N_pad)
+            real = idx < n_real
+            srt = jnp.sort(aff, axis=1)[:, ::-1]        # desc per row
+            thr = srt[:, cand - 1].T                    # [P, N]
+            x = jnp.where(aff[None] >= thr[:, :, None], aff[None], 0.0)
+            sym = 0.5 * (x + jnp.swapaxes(x, 1, 2))
+            deg = sym.sum(axis=2)
+            diag = jnp.where(real[None], deg, _PAD_DIAG)
+            eye = jnp.eye(N_pad, dtype=aff.dtype)
+            lap = -sym + eye[None] * diag[:, :, None]
+            lam = jnp.linalg.eigvalsh(lap)              # [P, Npad] ascending
+            return lam[:, :upper], lam[:, n_real - 1]
+        fn = jax.jit(run)
+        _EIG_JIT_CACHE[key] = fn
+
+    aff_pad = np.zeros((N_pad, N_pad), np.float32)
+    aff_pad[:N, :N] = affinity
+    cand_pad = np.concatenate(
+        [candidates, np.full(P_pad - P, candidates[-1])]).astype(np.int32)
+    lam_small, lam_max = fn(jnp.asarray(aff_pad), jnp.asarray(cand_pad),
+                            jnp.asarray(N, jnp.int32))
+    return (np.asarray(lam_small, np.float64)[:P],
+            np.asarray(lam_max, np.float64)[:P])
+
+
 def is_graph_fully_connected(aff_bin: np.ndarray) -> bool:
     """BFS from node 0 over nonzero edges (NeMo isGraphFullyConnected)."""
     N = aff_bin.shape[0]
@@ -138,16 +253,12 @@ def nmesc(affinity: np.ndarray, max_num_speakers: int = 8,
     p_max = max(int(np.floor(N * max_rp_threshold)), 2)
     candidates = np.unique(np.linspace(1, p_max, num=min(
         sparse_search_volume, p_max)).astype(int))
+
+    results = _eval_candidates(affinity, candidates, max_num_speakers)
     best = None
-    for p in candidates:
-        aff_p = binarize_top_p(affinity, int(p))
-        num_spk, lambdas, gaps = estimate_num_speakers(aff_p, max_num_speakers)
-        lambda_max = max(lambdas.max(), 1e-10)
-        max_gap = gaps.max() if len(gaps) else 0.0
-        nme = max_gap / lambda_max
-        g_p = (p / N) / (nme + 1e-10)
-        if best is None or g_p < best.g_p:
-            best = NmescResult(num_spk, int(p), float(g_p))
+    for r in results:
+        if best is None or r.g_p < best.g_p:
+            best = r
     # connectivity repair (NeMo getMinimumConnection): a pruning level that
     # disconnects the affinity graph yields all-zero eigengaps and a
     # meaningless speaker count — raise p until the graph is connected and
@@ -203,10 +314,51 @@ def spectral_clustering(aff: np.ndarray, n_clusters: int, seed: int = 0
     SpectralClustering equivalent)."""
     if n_clusters <= 1 or aff.shape[0] <= 1:
         return np.zeros(aff.shape[0], np.int64)
-    L = laplacian(aff)
-    vals, vecs = _safe_eigh(L)
-    emb = vecs[:, :n_clusters]
+    N = aff.shape[0]
+    if _accelerator_available() and N >= 64:
+        emb = _laplacian_eigvecs_device(aff, n_clusters)
+    else:
+        L = laplacian(aff)
+        vals, vecs = _safe_eigh(L)
+        emb = vecs[:, :n_clusters]
+    # k-means is isometry-invariant: device/LAPACK eigenvector sign and
+    # degenerate-subspace rotations are orthogonal column transforms that
+    # preserve all row distances, so labels match across backends
     return kmeans(emb, n_clusters, seed=seed).astype(np.int64)
+
+
+_VEC_JIT_CACHE: dict = {}
+
+
+def _laplacian_eigvecs_device(aff: np.ndarray, k: int) -> np.ndarray:
+    """k smallest Laplacian eigenvectors on the accelerator (f32), with the
+    same spectral-safe padding as _candidate_eigs_device: pad nodes carry
+    no edges and a huge diagonal, so their eigenpairs sort strictly above
+    every real one and the k smallest eigenvectors are the real ones
+    zero-extended."""
+    import jax
+    import jax.numpy as jnp
+
+    N = aff.shape[0]
+    N_pad = int(np.ceil(N / 256) * 256)
+    key = (N_pad,)
+    fn = _VEC_JIT_CACHE.get(key)
+    if fn is None:
+        def run(a, n_real):
+            real = jnp.arange(N_pad) < n_real
+            deg = a.sum(axis=1)
+            diag = jnp.where(real, deg - jnp.diagonal(a), _PAD_DIAG)
+            eye = jnp.eye(N_pad, dtype=a.dtype)
+            lap = jnp.where(eye > 0, 0.0, -a) + eye * diag[:, None]
+            _, vecs = jnp.linalg.eigh(lap)
+            return vecs
+        fn = jax.jit(run)
+        _VEC_JIT_CACHE[key] = fn
+    a_pad = np.zeros((N_pad, N_pad), np.float32)
+    a_pad[:N, :N] = aff
+    vecs = np.asarray(fn(jnp.asarray(a_pad), jnp.asarray(N, jnp.int32)),
+                      np.float64)
+    return vecs[:N, :k]
 
 
 def run_clustering(raw_affinity: np.ndarray, max_num_speakers: int = 8,

@@ -107,10 +107,15 @@ def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
     """Embed every (word, scale) window. Returns [n_words, n_scales, D].
 
     Windows are bucketed by padded length (powers-of-two samples) so the
-    jitted encoder compiles once per bucket.
+    jitted encoder compiles once per bucket. The session audio is shipped
+    to the device ONCE and windows are gathered there (embed_windows):
+    host-assembling the ~6 overlapping scale windows per word would
+    re-transfer each audio sample ~250x — GBs per hour of audio, which
+    dominated the diarization stage over a device tunnel. Encoders without
+    the embed_windows entry (test doubles) fall back to host assembly.
     """
     n_scales = len(windows[0]) if windows else 0
-    tasks = []  # (word_idx, scale_idx, start_sample, length)
+    tasks = []  # (word_idx, scale_idx, channel, start_sample, length)
     for wi, scales in enumerate(windows):
         ch = words[wi][3]
         for si, (t0, t1) in enumerate(scales):
@@ -126,19 +131,40 @@ def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
     for t in tasks:
         buckets.setdefault(bucket_len(t[4]), []).append(t)
 
+    device_gather = hasattr(encoder, "embed_windows")
+    if device_gather:
+        import jax
+        max_blen = max(buckets) if buckets else 256
+        # pad the session length to a power-of-two bucket as well, so the
+        # per-(session_len, blen) jit cache stays small across meetings
+        L = wavs.shape[1]
+        L_pad = 1 << max(int(math.ceil(math.log2(max(L, 1)))), 8)
+        sess = np.zeros((wavs.shape[0], L_pad + max_blen), np.float32)
+        sess[:, :L] = wavs
+        sess_dev = jax.device_put(sess)
+
     D = encoder.cfg.emb_dim if hasattr(encoder, "cfg") else None
     out = None
     for blen, items in sorted(buckets.items()):
         for i in range(0, len(items), batch_size):
             chunk = items[i:i + batch_size]
-            pad_n = len(chunk)
-            batch = np.zeros((batch_size, blen), np.float32)
-            lengths = np.ones(batch_size, np.int32)
-            for j, (wi, si, ch, s0, ln) in enumerate(chunk):
-                ln = min(ln, blen)
-                batch[j, :ln] = wavs[ch, s0:s0 + ln]
-                lengths[j] = ln
-            emb = encoder.embed(batch, lengths)  # [batch_size, D]
+            if device_gather:
+                chans = np.zeros(batch_size, np.int32)
+                starts = np.zeros(batch_size, np.int32)
+                lengths = np.ones(batch_size, np.int32)
+                for j, (wi, si, ch, s0, ln) in enumerate(chunk):
+                    chans[j], starts[j] = ch, s0
+                    lengths[j] = min(ln, blen)
+                emb = encoder.embed_windows(sess_dev, chans, starts, blen,
+                                            lengths)
+            else:
+                batch = np.zeros((batch_size, blen), np.float32)
+                lengths = np.ones(batch_size, np.int32)
+                for j, (wi, si, ch, s0, ln) in enumerate(chunk):
+                    ln = min(ln, blen)
+                    batch[j, :ln] = wavs[ch, s0:s0 + ln]
+                    lengths[j] = ln
+                emb = encoder.embed(batch, lengths)  # [batch_size, D]
             if out is None:
                 D = emb.shape[-1]
                 out = np.zeros((len(words), n_scales, D), np.float32)
@@ -157,12 +183,16 @@ def word_based_clustering(audio_files: list, segments_df: pd.DataFrame,
     Contract parity with word_based_clustering
     (word_based_diarization.py:135-189).
     """
-    srs_wavs = [read_wav(f, normalize=True, return_rate=True)
-                for f in audio_files]
-    sr = srs_wavs[0][0]
-    wav_list = [w if w.ndim == 1 else w[0] for _, w in srs_wavs]
-    max_len = max(w.size for w in wav_list)
-    wavs = np.stack([np.pad(w, (0, max_len - w.size)) for w in wav_list])
+    from notsofar_tpu.utils.profiling import StageTimer
+    timer = StageTimer()
+    word_based_clustering.last_phase_timer = timer
+    with timer.stage("read_wav"):
+        srs_wavs = [read_wav(f, normalize=True, return_rate=True)
+                    for f in audio_files]
+        sr = srs_wavs[0][0]
+        wav_list = [w if w.ndim == 1 else w[0] for _, w in srs_wavs]
+        max_len = max(w.size for w in wav_list)
+        wavs = np.stack([np.pad(w, (0, max_len - w.size)) for w in wav_list])
 
     if encoder is None:
         encoder = resolve_speaker_encoder(cfg)
@@ -176,13 +206,17 @@ def word_based_clustering(audio_files: list, segments_df: pd.DataFrame,
         df["speaker_id"] = "spk0"
         return df
 
-    emb = extract_embeddings_bucketed(encoder, wavs, sr, words, windows)
+    with timer.stage("embed"):
+        emb = extract_embeddings_bucketed(encoder, wavs, sr, words, windows)
 
-    n_scales = emb.shape[1]
-    affinity = np.mean([cos_affinity_matrix(emb[:, s]) for s in range(n_scales)],
-                       axis=0)
-    labels = run_clustering(affinity)
+    with timer.stage("affinity"):
+        n_scales = emb.shape[1]
+        affinity = np.mean([cos_affinity_matrix(emb[:, s])
+                            for s in range(n_scales)], axis=0)
+    with timer.stage("clustering"):
+        labels = run_clustering(affinity)
 
-    all_words = [w + [f"spk{int(l)}"] for w, l in zip(words, labels)]
-    return prepare_diarized_data_frame(all_words, segments_df,
-                                       cfg.apply_deduplication)
+    with timer.stage("df"):
+        all_words = [w + [f"spk{int(l)}"] for w, l in zip(words, labels)]
+        return prepare_diarized_data_frame(all_words, segments_df,
+                                           cfg.apply_deduplication)

@@ -249,3 +249,41 @@ class SpeakerEncoder:
         """wavs: [B, T] zero-padded; lengths: [B] valid samples -> [B, emb]."""
         return np.asarray(self._embed(self.variables, jnp.asarray(wavs),
                                       jnp.asarray(lengths)))
+
+    @partial(jax.jit, static_argnums=(0, 5))
+    def _embed_gather(self, variables, session_wavs, chans, starts, blen,
+                      lengths_samples):
+        """Gather [B, blen] windows out of on-device session audio, embed.
+
+        session_wavs: [C, L + blen] (zero right-padded by blen so a slice
+        starting anywhere < L never gets shifted back by dynamic_slice's
+        clamping); chans/starts/lengths_samples: [B]."""
+
+        def one(ch, s0):
+            row = jax.lax.dynamic_index_in_dim(session_wavs, ch, 0,
+                                               keepdims=False)
+            return jax.lax.dynamic_slice(row, (s0,), (blen,))
+
+        wavs = jax.vmap(one)(chans, starts)
+        mask = jnp.arange(blen)[None, :] < lengths_samples[:, None]
+        wavs = jnp.where(mask, wavs, 0.0)
+        feats = titanet_features(wavs, lengths=lengths_samples)
+        frame_lengths = lengths_samples // 160 + 1
+        _, emb = self.module.apply(variables, feats, frame_lengths)
+        return emb
+
+    def embed_windows(self, session_wavs, chans: np.ndarray,
+                      starts: np.ndarray, blen: int,
+                      lengths: np.ndarray) -> np.ndarray:
+        """Embed windows sliced ON DEVICE from session audio.
+
+        The host-assembly path (`embed`) ships every window's samples to
+        the device — for multi-scale diarization that is ~250x the session
+        audio itself (6 scales x overlapping 0.5-3 s windows per word), a
+        ~GB-scale transfer per hour of audio. Here the session is
+        transferred once and windows are gathered with dynamic_slice.
+        session_wavs must be [C, L + blen]-padded (see prepare_session)."""
+        return np.asarray(self._embed_gather(
+            self.variables, session_wavs, jnp.asarray(chans, jnp.int32),
+            jnp.asarray(starts, jnp.int32), int(blen),
+            jnp.asarray(lengths, jnp.int32)))

@@ -239,3 +239,53 @@ def test_nmesc_msdd_falls_back_without_checkpoint(tmp_path, monkeypatch):
     out = diarization_inference(str(tmp_path), df, cfg, False,
                                 encoder=SpectralToyEncoder())
     assert "speaker_id" in out.columns and len(out) > 0
+
+
+def test_nmesc_device_path_parity(monkeypatch):
+    """The batched accelerator NMESC path (f32, threshold-tie binarize,
+    spectral-safe padding) must agree with the per-candidate float64 host
+    path on realistic cluster structure."""
+    import notsofar_tpu.diarization.clustering as C
+    rng = np.random.RandomState(7)
+    spk = rng.randn(4, 64)
+    emb = spk[rng.randint(4, size=150)] + 0.4 * rng.randn(150, 64)
+    aff = cos_affinity_matrix(emb)
+
+    monkeypatch.setattr(C, "_accelerator_available", lambda: False)
+    host = nmesc(aff)
+    host_labels = run_clustering(aff)
+    monkeypatch.setattr(C, "_accelerator_available", lambda: True)
+    dev = nmesc(aff)
+    dev_labels = run_clustering(aff)
+
+    assert dev.num_speakers == host.num_speakers
+    assert dev.p_hat == host.p_hat
+    assert abs(dev.g_p - host.g_p) < 1e-4 * max(abs(host.g_p), 1.0)
+    assert agree(dev_labels, host_labels) == 1.0
+
+
+def test_embed_windows_device_gather_parity():
+    """embed_windows (on-device dynamic_slice gather) must reproduce the
+    host-assembled embed batches."""
+    from notsofar_tpu.diarization.word_based import extract_embeddings_bucketed
+    from notsofar_tpu.models.titanet import SpeakerEncoder, TitaNetConfig
+    cfg = TitaNetConfig(filters=32, epilogue_filters=64, attention_dim=8,
+                        emb_dim=16, block_kernels=(7,), block_repeat=2)
+    enc = SpeakerEncoder(cfg)
+    rng = np.random.RandomState(3)
+    sr = 16000
+    wavs = rng.randn(2, sr * 6).astype(np.float32) * 0.1
+    words = [["w", 0.2 + i * 0.5, 0.45 + i * 0.5, i % 2] for i in range(10)]
+    windows = [[(max(0.0, w[1] - s / 2), min(6.0, w[2] + s / 2))
+                for s in (1.0, 0.5)] for w in words]
+    e_dev = extract_embeddings_bucketed(enc, wavs, sr, words, windows,
+                                        batch_size=8)
+
+    class HostOnly:          # no embed_windows -> host-assembly fallback
+        cfg = enc.cfg
+        embed = enc.embed
+
+    e_host = extract_embeddings_bucketed(HostOnly(), wavs, sr, words,
+                                         windows, batch_size=8)
+    assert e_dev.shape == e_host.shape
+    np.testing.assert_allclose(e_dev, e_host, atol=2e-4, rtol=2e-4)

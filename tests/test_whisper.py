@@ -313,3 +313,56 @@ def test_openai_checkpoint_loader(tmp_path, hf_pair):
     for path, leaf in flat_a:
         np.testing.assert_array_equal(leaf, flat_b[path],
                                       err_msg=str(path))
+
+
+def test_find_word_timestamps_batch_matches_single(hf_pair):
+    """Bucketed/batched alignment must reproduce per-item calls exactly
+    (eot padding + causality; per-row z-norm; per-item DTW)."""
+    from notsofar_tpu.asr.decoding import (find_word_timestamps,
+                                           find_word_timestamps_batch)
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    rng = np.random.RandomState(5)
+    xa = [jnp.asarray(rng.randn(1, 1500, 64).astype(np.float32) * 0.05)
+          for _ in range(3)]
+    toks_list = [list(tok.encode(" hello world")),
+                 list(tok.encode(" a much longer utterance with many more"
+                                 " tokens to land in a different bucket")),
+                 list(tok.encode(" ok"))]
+    frames = [3000, 2400, 1200]
+    for heads in (None, [(0, 1), (1, 2)]):
+        singles = [find_word_timestamps(jm, variables, tok, xa[i],
+                                        toks_list[i], num_frames=frames[i],
+                                        alignment_heads=heads, merge=False)
+                   for i in range(3)]
+        batched = find_word_timestamps_batch(jm, variables, tok, xa,
+                                             toks_list, frames,
+                                             alignment_heads=heads,
+                                             merge=False)
+        for s, b in zip(singles, batched):
+            assert len(s) == len(b)
+            for ws, wb in zip(s, b):
+                assert ws["word"] == wb["word"]
+                assert abs(ws["start"] - wb["start"]) < 1e-6
+                assert abs(ws["end"] - wb["end"]) < 1e-6
+                assert abs(ws["probability"] - wb["probability"]) < 1e-4
+
+
+def test_log_mel_batch_matches_single():
+    from notsofar_tpu.asr.mel import (HOP_LENGTH, log_mel_spectrogram,
+                                      log_mel_spectrogram_batch)
+    rng = np.random.RandomState(2)
+    lens = [16000, 40000, 9999]
+    arrs = [rng.randn(n).astype(np.float32) * 0.1 for n in lens]
+    L_max = max(lens) + N_SAMPLES
+    batch = np.zeros((3, L_max), np.float32)
+    for b, a in enumerate(arrs):
+        batch[b, :a.size] = a
+    valid = np.asarray([(n + N_SAMPLES) // HOP_LENGTH for n in lens],
+                       np.int32)
+    mb = np.asarray(log_mel_spectrogram_batch(jnp.asarray(batch),
+                                              jnp.asarray(valid)))
+    for b, a in enumerate(arrs):
+        single = np.asarray(log_mel_spectrogram(
+            jnp.asarray(np.pad(a, (0, N_SAMPLES)))))
+        np.testing.assert_allclose(mb[b, :, :valid[b]], single, atol=1e-5)
