@@ -47,8 +47,10 @@ class BeamDecoder(GreedyDecoder):
                 for _ in range(d.n_text_layer)]
 
     @partial(jax.jit, static_argnums=(0, 3))
-    def _beam_scan(self, variables, xa, prompt_len: int, prompt_tokens):
-        """xa: [B, 1500, D]; prompt_tokens: [B, P]. Returns
+    def _beam_scan(self, variables, xa, prompt_len: int, prompt_tokens,
+                   pad_lens=None):
+        """xa: [B, 1500, D]; prompt_tokens: [B, P]. pad_lens: optional [B]
+        left-pad widths for per-row prompts (see GreedyDecoder). Returns
         (tokens [B, K, max_new], sum_lp [B, K], length [B, K],
         no_speech_prob [B])."""
         model, tok = self.model, self.tok
@@ -60,14 +62,21 @@ class BeamDecoder(GreedyDecoder):
         # replicate memory + prompt across beams
         xa_k = jnp.repeat(xa, K, axis=0)                       # [BK, 1500, D]
         prompt_k = jnp.repeat(prompt_tokens, K, axis=0)        # [BK, P]
+        pad_k = jnp.repeat(pad_lens, K, axis=0) if pad_lens is not None \
+            else None
         caches = self._beam_caches(BK)
+        # cross K/V projected once from the beam-replicated memory (see
+        # GreedyDecoder._decode_scan)
+        cross_kvs = model.precompute_cross_kv(variables["decoder"], xa_k)
         logits, caches, _ = model.decoder.apply(
-            variables["decoder"], prompt_k, xa_k, 0, caches)
+            variables["decoder"], prompt_k, xa_k, 0, caches,
+            cross_kvs=cross_kvs, pad_lens=pad_k)
         sot_pos = prompt_len - 1 - (2 if len(tok.sot_sequence) == 3 else 0)
         nsp = jax.nn.softmax(logits[::K, sot_pos], axis=-1)[:, tok.no_speech]
         cur_logits = logits[:, -1]                              # [BK, V]
 
-        max_new = self.opt.max_new_tokens
+        max_new = min(self.opt.max_new_tokens,
+                      model.dims.n_text_ctx - prompt_len)
         init = dict(
             step=jnp.zeros((), jnp.int32),
             caches=caches,
@@ -127,7 +136,8 @@ class BeamDecoder(GreedyDecoder):
             )
             new_logits, new_caches, _ = model.decoder.apply(
                 variables["decoder"], next_tok_flat[:, None], xa_k,
-                prompt_len + step, new_caches)
+                prompt_len + step, new_caches, cross_kvs=cross_kvs,
+                pad_lens=pad_k)
             new_state["caches"] = new_caches
             new_state["cur_logits"] = new_logits[:, 0]
             return new_state
@@ -158,6 +168,34 @@ class BeamDecoder(GreedyDecoder):
         sum_lp = np.asarray(sum_lp)
         length = np.asarray(length)
         # length-normalized ranking (whisper's MaximumLikelihoodRanker)
+        avg = sum_lp / np.maximum(length + 1, 1)
+        best = avg.argmax(axis=1)
+        out_tokens: List[List[int]] = []
+        for b in range(B):
+            t = tokens[b, best[b]]
+            end = int(np.argmax(t == self._eot)) if (t == self._eot).any() \
+                else len(t)
+            out_tokens.append(t[:end].tolist())
+        return dict(tokens=out_tokens,
+                    avg_logprob=avg[np.arange(B), best],
+                    no_speech_prob=np.asarray(nsp))
+
+    def decode_prompted(self, variables, xa: jnp.ndarray,
+                        prompts: Sequence[Optional[Sequence[int]]],
+                        temperature: float = 0.0, rng=None) -> Dict:
+        """Beam decode with a DIFFERENT prompt per row (see
+        GreedyDecoder.decode_prompted). temperature/rng accepted for
+        interface parity; the beam path is deterministic (the fallback
+        ladder samples through the greedy sampler, as in whisper)."""
+        assert temperature == 0.0, "beam search is the t=0 rung"
+        toks, pads, P_pad = self._pack_prompts(prompts)
+        B = xa.shape[0]
+        tokens, sum_lp, length, nsp = self._beam_scan(
+            variables, xa, P_pad, jnp.asarray(toks),
+            pad_lens=jnp.asarray(pads))
+        tokens = np.asarray(tokens)
+        sum_lp = np.asarray(sum_lp)
+        length = np.asarray(length)
         avg = sum_lp / np.maximum(length + 1, 1)
         best = avg.argmax(axis=1)
         out_tokens: List[List[int]] = []

@@ -162,20 +162,31 @@ class GreedyDecoder:
 
     @partial(jax.jit, static_argnums=(0, 3, 6))
     def _decode_scan(self, variables, xa, prompt_len: int, prompt_tokens,
-                     rng=None, temperature: float = 0.0):
+                     rng=None, temperature: float = 0.0, pad_lens=None,
+                     row_rngs=None):
         """xa: [B, 1500, D]; prompt_tokens: [B, prompt_len] int32.
 
         temperature > 0 samples via the gumbel trick (whisper's fallback
         path); temperature == 0 is greedy argmax.
+        pad_lens: optional [B] — rows carry per-stream prompts
+        RIGHT-ALIGNED in the prompt_len bucket with pad_lens[b] masked
+        left-pad slots (batched condition_on_previous_text decoding; the
+        sot sequence ends every row, so the state machine and sot position
+        are uniform).
         Returns (tokens [B, max_new], sum_logprob [B], length [B],
         no_speech_prob [B])."""
         model, tok = self.model, self.tok
         B = xa.shape[0]
         caches = model.empty_kv_caches(B)
 
+        # cross-attention K/V depend only on xa: project once here instead
+        # of per step (two [1500, D] x [D, D] matmuls per layer per step
+        # otherwise dominate decode FLOPs)
+        cross_kvs = model.precompute_cross_kv(variables["decoder"], xa)
         # prefill: run the prompt through the decoder, filling the cache
         logits, caches, _ = model.decoder.apply(
-            variables["decoder"], prompt_tokens, xa, 0, caches)
+            variables["decoder"], prompt_tokens, xa, 0, caches,
+            cross_kvs=cross_kvs, pad_lens=pad_lens)
         # probability of <|nospeech|> measured at the sot position
         sot_pos = prompt_len - 1 - (2 if len(tok.sot_sequence) == 3 else 0)
         sot_logits = logits[:, sot_pos]
@@ -191,8 +202,18 @@ class GreedyDecoder:
             if not self.opt.without_timestamps:
                 lg = self._apply_timestamp_rules(
                     lg, prev_was_ts, prev_prev_was_ts, last_ts, any_ts, step)
-            if temperature > 0 and rng is not None:
-                g = jax.random.gumbel(jax.random.fold_in(rng, step), lg.shape)
+            if temperature > 0 and (rng is not None or row_rngs is not None):
+                if row_rngs is not None:
+                    # per-row keys: row b's draw equals a B=1 decode with
+                    # that key (threefry bit-streams are shape-layout
+                    # invariant), keeping sampling bit-stable across batch
+                    # compositions — the (stream, seek) salting contract
+                    g = jax.vmap(lambda kk: jax.random.gumbel(
+                        jax.random.fold_in(kk, step),
+                        (lg.shape[-1],)))(row_rngs)
+                else:
+                    g = jax.random.gumbel(jax.random.fold_in(rng, step),
+                                          lg.shape)
                 next_tok = jnp.argmax(lg / temperature + g, axis=-1
                                       ).astype(jnp.int32)
             else:
@@ -216,12 +237,16 @@ class GreedyDecoder:
                 tokens_buf, next_tok[:, None], step, axis=1)
             new_logits, new_caches, _ = model.decoder.apply(
                 variables["decoder"], next_tok[:, None], xa,
-                prompt_len + step, caches)
+                prompt_len + step, caches, cross_kvs=cross_kvs,
+                pad_lens=pad_lens)
             return (step + 1, tokens_buf, new_caches, new_logits[:, 0],
                     is_ts, prev_was_ts, new_last_ts, new_any_ts, sum_lp,
                     length, new_finished)
 
-        max_new = self.opt.max_new_tokens
+        # never run the cache past n_text_ctx (a 227-token prompt plus 224
+        # new tokens would otherwise clamp updates into the last slot)
+        max_new = min(self.opt.max_new_tokens,
+                      model.dims.n_text_ctx - prompt_len)
 
         def cond_fn(carry):
             step, finished = carry[0], carry[-1]
@@ -268,6 +293,62 @@ class GreedyDecoder:
         sum_lp = np.asarray(sum_lp)
         length = np.asarray(length)
         avg_lp = sum_lp / np.maximum(length + 1, 1)
+        out_tokens = []
+        for b in range(B):
+            t = tokens[b]
+            end = np.argmax(t == self._eot) if (t == self._eot).any() else len(t)
+            out_tokens.append(t[:end].tolist())
+        return dict(tokens=out_tokens, avg_logprob=avg_lp,
+                    no_speech_prob=np.asarray(nsp))
+
+    def _pack_prompts(self, prompts: Sequence[Optional[Sequence[int]]]
+                      ) -> Tuple[np.ndarray, np.ndarray, int]:
+        """Right-align per-row prompt prefixes in a power-of-two bucket.
+        Returns (tokens [B, P_pad], pad_lens [B], P_pad)."""
+        tok = self.tok
+        prefixes = []
+        for pr in prompts:
+            pre = list(pr) if pr else []
+            if pre:
+                pre = [tok.specials.sot_prev] + \
+                    pre[-(self.model.dims.n_text_ctx // 2 - 1):]
+            prefixes.append(pre + tok.sot_sequence)
+        P = max(len(p) for p in prefixes)
+        P_pad = 1 << max(2, (P - 1).bit_length())
+        toks = np.full((len(prefixes), P_pad), tok.sot, np.int32)
+        pads = np.zeros(len(prefixes), np.int32)
+        for b, p in enumerate(prefixes):
+            toks[b, P_pad - len(p):] = p
+            pads[b] = P_pad - len(p)
+        return toks, pads, P_pad
+
+    def decode_prompted(self, variables, xa: jnp.ndarray,
+                        prompts: Sequence[Optional[Sequence[int]]],
+                        temperature: float = 0.0, rng=None,
+                        rngs=None) -> Dict:
+        """Batched decode with a DIFFERENT prompt per row
+        (condition_on_previous_text across streams): prompts are
+        right-aligned in a power-of-two bucket with masked left-pad, so
+        the whole batch runs as one scan — the reference semantics without
+        the per-stream serial decode chains.
+
+        Same contract as decode(); bit-identical to per-row decode() at
+        temperature 0 (tested). rngs: optional per-row PRNG keys — row b
+        samples exactly as a B=1 decode with rngs[b], preserving the
+        per-(stream, seek) sampling-salt contract across batch
+        compositions (tested); rng: one key for the whole batch."""
+        toks, pads, P_pad = self._pack_prompts(prompts)
+        B = xa.shape[0]
+        assert toks.shape[0] == B
+        row_rngs = jnp.stack(list(rngs)) if rngs is not None else None
+        if temperature > 0 and rng is None and row_rngs is None:
+            rng = jax.random.PRNGKey(0)
+        tokens, sum_lp, length, nsp = self._decode_scan(
+            variables, xa, P_pad, jnp.asarray(toks), rng,
+            float(temperature), pad_lens=jnp.asarray(pads),
+            row_rngs=row_rngs)
+        tokens = np.asarray(tokens)
+        avg_lp = np.asarray(sum_lp) / np.maximum(np.asarray(length) + 1, 1)
         out_tokens = []
         for b in range(B):
             t = tokens[b]

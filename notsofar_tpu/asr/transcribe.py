@@ -79,6 +79,12 @@ class TranscribeOptions:
     # across the batch); amortizes the memory-bound decoder weight reads
     # across streams (~Bx decode speedup on large models).
     lockstep_decode: bool = False
+    # Batch per-row prompts (condition_on_previous_text) into one decode
+    # scan per iteration via right-aligned prompt buckets — the reference
+    # decode semantics at batched throughput. False = per-stream serial
+    # decodes with per-(stream, seek) sampling salt (bit-stable across
+    # batch compositions).
+    batched_prompts: bool = True
 
 
 def compression_ratio(text: str) -> float:
@@ -353,8 +359,6 @@ def apply_seek_rules(segments: List[Dict], *, previous_seek: int, seek: int,
 @dataclass
 class _Stream:
     """Per-stream long-form decode state."""
-    audio: np.ndarray
-    mel: np.ndarray
     content_frames: int
     seek: int = 0
     all_tokens: List[int] = field(default_factory=list)
@@ -433,6 +437,65 @@ class WhisperTranscriber:
                 break
         return result, t
 
+    def _decode_batch_with_fallback(self, xa, streams):
+        """Batched temperature ladder over active streams with per-row
+        prompts (decode_prompted): rung 0 decodes every row in one scan;
+        each following rung re-decodes ONLY the rows whose hypotheses
+        failed whisper's compression/logprob gates. Returns (results,
+        temperatures) aligned with `streams`.
+
+        Sampling stays bit-identical to the serial path: each row draws
+        with the key fold_in(fold_in(base, stream.seek), rung) exactly as
+        _decode_with_fallback's salt=seek does for a B=1 decode."""
+        import jax
+        n = xa.shape[0]
+        prompts = [s.all_tokens[s.prompt_reset_since:]
+                   if self.opt.condition_on_previous_text else None
+                   for s in streams]
+        results: List[Optional[Dict]] = [None] * n
+        temps = [0.0] * n
+        todo = list(range(n))
+        for ti, t in enumerate(self.opt.temperatures):
+            xa_sub = xa[np.asarray(todo)] if len(todo) != n else xa
+            sub_prompts = [prompts[j] for j in todo]
+            if t == 0.0:
+                res = self.decoder.decode_prompted(self.variables, xa_sub,
+                                                   sub_prompts)
+            else:
+                rngs = [jax.random.fold_in(jax.random.fold_in(
+                    self._fallback_base_rng, streams[j].seek), ti)
+                    for j in todo]
+                res = self._sampler.decode_prompted(
+                    self.variables, xa_sub, sub_prompts, temperature=t,
+                    rngs=rngs)
+            still = []
+            for r, j in enumerate(todo):
+                results[j] = dict(
+                    tokens=[res["tokens"][r]],
+                    avg_logprob=res["avg_logprob"][r:r + 1],
+                    no_speech_prob=res["no_speech_prob"][r:r + 1])
+                temps[j] = t
+                needs_fallback = False
+                text = self.tok.decode(res["tokens"][r])
+                if self.opt.compression_ratio_threshold is not None and \
+                        compression_ratio(text) > \
+                        self.opt.compression_ratio_threshold:
+                    needs_fallback = True
+                if self.opt.logprob_threshold is not None and \
+                        float(res["avg_logprob"][r]) < \
+                        self.opt.logprob_threshold:
+                    needs_fallback = True
+                if self.opt.no_speech_threshold is not None and \
+                        float(res["no_speech_prob"][r]) > \
+                        self.opt.no_speech_threshold:
+                    needs_fallback = False    # silence — don't fight it
+                if needs_fallback:
+                    still.append(j)
+            todo = still
+            if not todo:
+                break
+        return results, temps
+
     # ------------------------------------------------------------------
     def transcribe(self, audio: np.ndarray, sr: int = SAMPLE_RATE) -> Dict:
         """audio: mono float waveform. Returns {'segments': [...], 'text'}
@@ -460,27 +523,39 @@ class WhisperTranscriber:
         streams: List[_Stream] = []
         with timer.stage("mel"):
             # one batched dispatch for all streams; row length bucketed to
-            # 30 s multiples to bound recompiles. Rows sliced to their own
-            # frame extent are bit-identical to per-stream calls (the
-            # batched variant maxes each row's dynamic-range clamp over
-            # only its valid frames).
-            arrs = [np.asarray(a, np.float32) for a in audios]
-            lens = [a.size for a in arrs]
+            # 30 s multiples to bound recompiles. The mels then STAY on
+            # device — windows are gathered there per iteration
+            # (encode_windows); rows sliced to their own frame extent are
+            # bit-identical to per-stream calls (the batched variant maxes
+            # each row's dynamic-range clamp over only its valid frames).
+            # Entries may be DEVICE arrays (e.g. CSS engine outputs kept
+            # resident): those are padded/stacked on device, so separated
+            # audio is never re-uploaded over the host link.
+            lens = [int(a.size) for a in audios]
             L_max = max(lens) + N_SAMPLES
             L_max = int(np.ceil(L_max / N_SAMPLES) * N_SAMPLES)
-            batch = np.zeros((B, L_max), np.float32)
-            for b, a in enumerate(arrs):
-                batch[b, :a.size] = a
+            host_rows = [(b, a) for b, a in enumerate(audios)
+                         if isinstance(a, np.ndarray)]
+            rows: List = [None] * B
+            if host_rows:
+                batch = np.zeros((len(host_rows), L_max), np.float32)
+                for j, (b, a) in enumerate(host_rows):
+                    batch[j, :a.size] = np.asarray(a, np.float32)
+                up = jnp.asarray(batch)
+                for j, (b, _) in enumerate(host_rows):
+                    rows[b] = up[j]
+            for b, a in enumerate(audios):
+                if rows[b] is None:     # device-resident row
+                    rows[b] = jnp.pad(a.astype(jnp.float32),
+                                      (0, L_max - lens[b]))
             valid = np.asarray(
                 [(n + N_SAMPLES) // HOP_LENGTH for n in lens], np.int32)
-            mels = np.asarray(log_mel_spectrogram_batch(
-                jnp.asarray(batch), jnp.asarray(valid),
+            mels_dev = jax.block_until_ready(log_mel_spectrogram_batch(
+                jnp.stack(rows), jnp.asarray(valid),
                 n_mels=self.model.dims.n_mels))
-            for b, a in enumerate(arrs):
-                mel = mels[b, :, :valid[b]]
+            for b in range(B):
                 streams.append(_Stream(
-                    audio=a, mel=mel,
-                    content_frames=max(mel.shape[-1] - N_FRAMES, 1)))
+                    content_frames=max(int(valid[b]) - N_FRAMES, 1)))
 
         while True:
             active = [b for b in range(B)
@@ -488,18 +563,17 @@ class WhisperTranscriber:
             if not active:
                 break
             # fixed batch shape (inactive rows zeroed) -> one encoder
-            # compile. Windows are sliced to the CONTENT extent and
-            # zero-padded (whisper's pad_or_trim on the normalized mel), not
-            # filled with mel-of-padded-silence.
-            windows = np.zeros((B, streams[0].mel.shape[0], N_FRAMES),
-                               np.float32)
-            for b in active:
-                s = streams[b]
-                seg = min(N_FRAMES, s.content_frames - s.seek)
-                windows[b, :, :seg] = s.mel[:, s.seek:s.seek + seg]
+            # compile. Windows are gathered on device, sliced to the
+            # CONTENT extent and zero-padded (whisper's pad_or_trim on the
+            # normalized mel), not filled with mel-of-padded-silence.
+            seeks = np.asarray(
+                [min(s.seek, s.content_frames) for s in streams], np.int32)
+            limits = np.asarray([s.content_frames for s in streams],
+                                np.int32)
             with timer.stage("encode"):
-                xa_full = jax.block_until_ready(self.model.encode(
-                    self.variables, jnp.asarray(windows)))
+                xa_full = jax.block_until_ready(self.model.encode_windows(
+                    self.variables, mels_dev, jnp.asarray(seeks),
+                    jnp.asarray(limits)))
             xa = xa_full[active, :, :] if len(active) != B else xa_full
             self._maybe_detect_language(xa[0:1])
 
@@ -535,11 +609,35 @@ class WhisperTranscriber:
                 for (b, pre), al in zip(pending, aligns):
                     self._post_align(streams[b], pre, al, temperature=0.0)
                 continue
-            # condition_on_previous_text requires equal prompts per batch
-            # element; decode each active stream against its own prompt only
-            # when prompts differ, else share one decode call. In practice
-            # prompts always differ, so we batch the (dominant) encoder and
-            # amortize decoding via same-shape compilation.
+            if self.opt.batched_prompts:
+                # per-row prompts right-aligned in a shared bucket -> ONE
+                # batched decode (greedy or beam) for all active streams;
+                # the temperature ladder re-decodes only the failing rows
+                with timer.stage("decode"):
+                    results, temps = self._decode_batch_with_fallback(
+                        xa, [streams[b] for b in active])
+                pending2 = []
+                for j, b in enumerate(active):
+                    pre = self._pre_align(streams[b], results[j])
+                    if pre is not None:
+                        pending2.append((j, b, pre))
+                aligns2 = [None] * len(pending2)
+                if self.opt.word_timestamps and pending2:
+                    with timer.stage("word_ts"):
+                        aligns2 = find_word_timestamps_batch(
+                            self.model, self.variables, self.tok,
+                            [xa[j:j + 1] for j, _, _ in pending2],
+                            [p["text_tokens"] for _, _, p in pending2],
+                            [p["segment_size"] for _, _, p in pending2],
+                            alignment_heads=self.opt.alignment_heads,
+                            merge=False)
+                for (j, b, pre), al in zip(pending2, aligns2):
+                    self._post_align(streams[b], pre, al,
+                                     temperature=temps[j])
+                continue
+            # serial fallback path (batched_prompts=False): per-stream
+            # decode with per-(stream, seek) sampling salt — bit-stable
+            # across batch compositions, at serial-dispatch cost
             for j, b in enumerate(active):
                 s = streams[b]
                 prompt = s.all_tokens[s.prompt_reset_since:] \

@@ -306,10 +306,16 @@ class CssEngine:
         return wav_i16, scale[..., 0], mask_stitched, act
 
     # ---- batched multi-session entry -----------------------------------
-    def separate_sessions_batch(self, speech_mixes: List[np.ndarray], fs: int
-                                ) -> List[List[np.ndarray]]:
+    def separate_sessions_batch(self, speech_mixes: List[np.ndarray], fs: int,
+                                return_device: bool = False):
         """Separate several sessions in one dispatch (same mic count; padded
-        to a common segment bucket). Returns per-session stream lists."""
+        to a common segment bucket). Returns per-session stream lists.
+
+        return_device=True additionally returns the raw on-device outputs
+        (wav_i16 [Sb, S, N] jnp, scales [Sb, S], real sample counts) so
+        downstream stages (ASR mel, diarization embedding windows) can
+        consume the separated audio WITHOUT re-uploading it — over a
+        narrow host<->device link the re-upload dominates the pipeline."""
         cfg = self.cfg
         geo = self.seg_geometry(fs)
         T, hop = geo["seg_frames"], geo["hop_frames"]
@@ -342,17 +348,21 @@ class CssEngine:
             nseg_real = int(np.ceil((mf - overlap) / hop))
             wgs[b] = build_weight_matrix(nseg_real, num_seg, T,
                                          geo["m0"], geo["m1"])
-        wav_i16, scales, _, _ = self._process_core(
+        wav_dev, scales_dev, _, _ = self._process_core(
             self.variables, jnp.asarray(wav_pad), jnp.asarray(wgs),
             jnp.asarray(valid), num_seg, T, hop,
             geo["dilation"], geo["erosion"], want_side_info=False)
-        wav_i16 = np.asarray(wav_i16)
-        scales = np.asarray(scales)
+        wav_i16 = np.asarray(wav_dev)
+        scales = np.asarray(scales_dev)
         out = []
+        n_reals = []
         for b, mix in enumerate(speech_mixes):
             n_real = (infos[b] - 1) * self.frame_hop + self.frame_len
+            n_reals.append(n_real)
             wavs = wav_i16[b, :, :n_real].astype(np.float32) / scales[b][:, None]
             out.append([wavs[i] for i in range(cfg.num_spks)])
+        if return_device:
+            return out, (wav_dev, scales_dev, n_reals)
         return out
 
     # ---- host wrapper -----------------------------------------------------

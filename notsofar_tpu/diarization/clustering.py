@@ -314,6 +314,8 @@ def spectral_clustering(aff: np.ndarray, n_clusters: int, seed: int = 0
     SpectralClustering equivalent)."""
     if n_clusters <= 1 or aff.shape[0] <= 1:
         return np.zeros(aff.shape[0], np.int64)
+    import time
+    t0 = time.time()
     N = aff.shape[0]
     if _accelerator_available() and N >= 64:
         emb = _laplacian_eigvecs_device(aff, n_clusters)
@@ -321,10 +323,94 @@ def spectral_clustering(aff: np.ndarray, n_clusters: int, seed: int = 0
         L = laplacian(aff)
         vals, vecs = _safe_eigh(L)
         emb = vecs[:, :n_clusters]
+    t1 = time.time()
     # k-means is isometry-invariant: device/LAPACK eigenvector sign and
     # degenerate-subspace rotations are orthogonal column transforms that
     # preserve all row distances, so labels match across backends
-    return kmeans(emb, n_clusters, seed=seed).astype(np.int64)
+    if _accelerator_available() and N >= 64:
+        labels = _kmeans_device(np.asarray(emb, np.float32), n_clusters,
+                                seed=seed)
+    else:
+        labels = kmeans(emb, n_clusters, seed=seed).astype(np.int64)
+    LAST_TIMINGS.update(eigvecs=round(t1 - t0, 2),
+                        kmeans=round(time.time() - t1, 2))
+    return labels
+
+
+_KM_JIT_CACHE: dict = {}
+
+
+def _kmeans_device(x_np: np.ndarray, k: int, seed: int = 0,
+                   n_init: int = 10, n_iter: int = 300) -> np.ndarray:
+    """k-means++ with restarts as ONE device program (vmapped over inits).
+
+    The host loop is ~n_init * iters interpreted steps — seconds per
+    session on a single-core host; here the whole search is a scan of
+    one-hot matmuls. Restarts use jax PRNG (not RandomState), so center
+    seeds differ from the host path; on non-degenerate spectral embeddings
+    both converge to the same partition (parity-tested), and cluster ids
+    are arbitrary labels downstream. Converged inits freeze (matching the
+    host early-break) so extra scan steps are no-ops."""
+    import jax
+    import jax.numpy as jnp
+
+    N, D = x_np.shape
+    N_pad = int(np.ceil(N / 256) * 256)
+    key_shape = (N_pad, D, k, n_init, n_iter)
+    fn = _KM_JIT_CACHE.get(key_shape)
+    if fn is None:
+        def one_init(x, valid, n_real, key):
+            k1, key = jax.random.split(key)
+            i0 = jax.random.randint(k1, (), 0, n_real)
+            centers = jnp.zeros((k, D), x.dtype).at[0].set(x[i0])
+            d2 = jnp.where(valid, ((x - centers[0]) ** 2).sum(-1), 0.0)
+            for j in range(1, k):
+                kj, key = jax.random.split(key)
+                probs = d2 / jnp.maximum(d2.sum(), 1e-12)
+                idx = jax.random.choice(kj, N_pad, p=probs)
+                centers = centers.at[j].set(x[idx])
+                d2 = jnp.minimum(
+                    d2, jnp.where(valid, ((x - centers[j]) ** 2).sum(-1),
+                                  0.0))
+
+            def lloyd(carry, _):
+                c, done = carry
+                dist = ((x[:, None, :] - c[None]) ** 2).sum(-1)  # [N, k]
+                lab = dist.argmin(1)
+                oh = jax.nn.one_hot(lab, k, dtype=x.dtype) \
+                    * valid[:, None].astype(x.dtype)
+                cnt = oh.sum(0)
+                newc = (oh.T @ x) / jnp.maximum(cnt[:, None], 1.0)
+                newc = jnp.where(cnt[:, None] > 0, newc, c)
+                newc = jnp.where(done, c, newc)
+                done = done | jnp.all(jnp.abs(newc - c)
+                                      <= 1e-8 + 1e-5 * jnp.abs(c))
+                return (newc, done), None
+
+            (c, _), _ = jax.lax.scan(lloyd, (centers, jnp.asarray(False)),
+                                     None, length=n_iter)
+            dist = ((x[:, None, :] - c[None]) ** 2).sum(-1)
+            lab = dist.argmin(1)
+            inertia = jnp.where(
+                valid, jnp.take_along_axis(dist, lab[:, None], 1)[:, 0],
+                0.0).sum()
+            return lab, inertia
+
+        def run(x, n_real, key):
+            valid = jnp.arange(N_pad) < n_real
+            keys = jax.random.split(key, n_init)
+            labs, inertias = jax.vmap(
+                lambda kk: one_init(x, valid, n_real, kk))(keys)
+            return labs[jnp.argmin(inertias)]
+
+        fn = jax.jit(run)
+        _KM_JIT_CACHE[key_shape] = fn
+
+    x_pad = np.zeros((N_pad, D), np.float32)
+    x_pad[:N] = x_np
+    labels = fn(jnp.asarray(x_pad), jnp.asarray(N, jnp.int32),
+                jax.random.PRNGKey(seed))
+    return np.asarray(labels)[:N].astype(np.int64)
 
 
 _VEC_JIT_CACHE: dict = {}
@@ -361,12 +447,21 @@ def _laplacian_eigvecs_device(aff: np.ndarray, k: int) -> np.ndarray:
     return vecs[:N, :k]
 
 
+LAST_TIMINGS: dict = {}
+
+
 def run_clustering(raw_affinity: np.ndarray, max_num_speakers: int = 8,
                    max_rp_threshold: float = 0.06,
                    sparse_search_volume: int = 30) -> np.ndarray:
     """NMESC + spectral clustering, contract parity with run_clustering
     (word_based_diarization.py:32-50)."""
+    import time
+    t0 = time.time()
     res = nmesc(raw_affinity, max_num_speakers, max_rp_threshold,
                 sparse_search_volume)
+    t1 = time.time()
     aff = binarize_top_p(raw_affinity, res.p_hat)
-    return spectral_clustering(aff, res.num_speakers)
+    labels = spectral_clustering(aff, res.num_speakers)
+    LAST_TIMINGS.update(nmesc=round(t1 - t0, 2),
+                        spectral=round(time.time() - t1, 2))
+    return labels

@@ -103,7 +103,7 @@ def collect_word_windows(segments_df: pd.DataFrame, wav_duration: float,
 def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
                                 words: List[list],
                                 windows: List[List[Tuple[float, float]]],
-                                batch_size: int = 64) -> np.ndarray:
+                                batch_size: int = 256) -> np.ndarray:
     """Embed every (word, scale) window. Returns [n_words, n_scales, D].
 
     Windows are bucketed by padded length (powers-of-two samples) so the
@@ -134,14 +134,19 @@ def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
     device_gather = hasattr(encoder, "embed_windows")
     if device_gather:
         import jax
+        import jax.numpy as jnp
         max_blen = max(buckets) if buckets else 256
         # pad the session length to a power-of-two bucket as well, so the
         # per-(session_len, blen) jit cache stays small across meetings
         L = wavs.shape[1]
         L_pad = 1 << max(int(math.ceil(math.log2(max(L, 1)))), 8)
-        sess = np.zeros((wavs.shape[0], L_pad + max_blen), np.float32)
-        sess[:, :L] = wavs
-        sess_dev = jax.device_put(sess)
+        if isinstance(wavs, np.ndarray):
+            sess = np.zeros((wavs.shape[0], L_pad + max_blen), np.float32)
+            sess[:, :L] = wavs
+            sess_dev = jax.device_put(sess)
+        else:   # already device-resident (e.g. CSS outputs) — pad there
+            sess_dev = jnp.pad(wavs.astype(jnp.float32),
+                               ((0, 0), (0, L_pad + max_blen - L)))
 
     D = encoder.cfg.emb_dim if hasattr(encoder, "cfg") else None
     out = None
@@ -177,22 +182,33 @@ def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
 
 def word_based_clustering(audio_files: list, segments_df: pd.DataFrame,
                           cfg: DiarizationCfg,
-                          encoder=None) -> pd.DataFrame:
+                          encoder=None, session_wavs=None,
+                          sr: int = 16000) -> pd.DataFrame:
     """ASR words -> speaker labels via multi-scale NMESC clustering.
 
     Contract parity with word_based_clustering
     (word_based_diarization.py:135-189).
+
+    session_wavs: optional [n_streams, L] audio (np OR device jnp array,
+    stream order matching wav_file_name_ind) — skips re-reading and
+    re-uploading the CSS streams when the caller kept them resident
+    (titanet embedding windows gather on device either way; absolute
+    scale cancels in the per-feature mel normalization).
     """
     from notsofar_tpu.utils.profiling import StageTimer
     timer = StageTimer()
     word_based_clustering.last_phase_timer = timer
     with timer.stage("read_wav"):
-        srs_wavs = [read_wav(f, normalize=True, return_rate=True)
-                    for f in audio_files]
-        sr = srs_wavs[0][0]
-        wav_list = [w if w.ndim == 1 else w[0] for _, w in srs_wavs]
-        max_len = max(w.size for w in wav_list)
-        wavs = np.stack([np.pad(w, (0, max_len - w.size)) for w in wav_list])
+        if session_wavs is not None:
+            wavs = session_wavs
+        else:
+            srs_wavs = [read_wav(f, normalize=True, return_rate=True)
+                        for f in audio_files]
+            sr = srs_wavs[0][0]
+            wav_list = [w if w.ndim == 1 else w[0] for _, w in srs_wavs]
+            max_len = max(w.size for w in wav_list)
+            wavs = np.stack([np.pad(w, (0, max_len - w.size))
+                             for w in wav_list])
 
     if encoder is None:
         encoder = resolve_speaker_encoder(cfg)

@@ -77,16 +77,24 @@ class MHA(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None):
+    def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None,
+                 precomputed_kv=None):
         """x: [B, T, D] queries. xa: cross-attention memory [B, S, D] or
         None for self-attention. kv_cache: optional (k, v) arrays
-        [B, ctx, D] to read/update at cache_index (self-attn decode)."""
+        [B, ctx, D] to read/update at cache_index (self-attn decode).
+        precomputed_kv: optional (k, v) [B, S, D] already projected —
+        cross-attention K/V depend only on xa, so the decode loop projects
+        them ONCE at prefill instead of re-running two [S, D]x[D, D]
+        matmuls per layer per step (which dominated decode FLOPs)."""
         d_k = self.n_state // self.n_head
         q = nn.Dense(self.n_state, dtype=self.dtype, name="query")(x)
-        src = x if xa is None else xa
-        k = nn.Dense(self.n_state, use_bias=False, dtype=self.dtype,
-                     name="key")(src)
-        v = nn.Dense(self.n_state, dtype=self.dtype, name="value")(src)
+        if precomputed_kv is not None:
+            k, v = precomputed_kv
+        else:
+            src = x if xa is None else xa
+            k = nn.Dense(self.n_state, use_bias=False, dtype=self.dtype,
+                         name="key")(src)
+            v = nn.Dense(self.n_state, dtype=self.dtype, name="value")(src)
 
         new_cache = None
         if kv_cache is not None:
@@ -123,7 +131,8 @@ class ResidualBlock(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None):
+    def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None,
+                 cross_kv=None):
         h = nn.LayerNorm(epsilon=LN_EPS, name="attn_ln")(x)
         a, _, new_cache = MHA(self.n_state, self.n_head, self.dtype,
                               name="attn")(h, None, mask, kv_cache, cache_index)
@@ -132,7 +141,8 @@ class ResidualBlock(nn.Module):
         if self.cross_attention:
             h = nn.LayerNorm(epsilon=LN_EPS, name="cross_attn_ln")(x)
             a, cross_w, _ = MHA(self.n_state, self.n_head, self.dtype,
-                                name="cross_attn")(h, xa)
+                                name="cross_attn")(h, xa,
+                                                   precomputed_kv=cross_kv)
             x = x + a
         h = nn.LayerNorm(epsilon=LN_EPS, name="mlp_ln")(x)
         h = nn.Dense(4 * self.n_state, dtype=self.dtype, name="mlp1")(h)
@@ -172,11 +182,20 @@ class TextDecoder(nn.Module):
 
     @nn.compact
     def __call__(self, tokens, xa, pos_offset=0, kv_caches=None,
-                 return_cross_attn: bool = False):
+                 return_cross_attn: bool = False, cross_kvs=None,
+                 pad_lens=None):
         """tokens: [B, T] int32; xa: [B, 1500, D] encoder output.
 
         kv_caches: None or list of per-layer (k, v) caches [B, n_text_ctx, D]
         (decode mode: T is the new suffix placed at pos_offset).
+        cross_kvs: None or per-layer (k, v) [B, 1500, D] cross-attention
+        projections precomputed from xa (see precompute_cross_kv).
+        pad_lens: None or [B] int32 — number of LEFT-pad slots at the start
+        of each row's cache (batched decoding with per-row prompt lengths:
+        prompts are right-aligned at a common bucket width; pad slots are
+        masked out of attention and position embeddings are shifted by
+        -pad so each row's real first token sits at position 0. pos_offset
+        stays the uniform CACHE slot offset).
         Returns (logits [B, T, vocab], new_caches, cross_attn list).
         """
         d = self.dims
@@ -186,16 +205,40 @@ class TextDecoder(nn.Module):
                              nn.initializers.normal(0.01),
                              (d.n_text_ctx, d.n_text_state), jnp.float32)
         T = tokens.shape[1]
-        x = tok_emb[tokens] + jax.lax.dynamic_slice_in_dim(
-            pos_emb, pos_offset, T, axis=0)
+        if pad_lens is None:
+            x = tok_emb[tokens] + jax.lax.dynamic_slice_in_dim(
+                pos_emb, pos_offset, T, axis=0)
+        else:
+            # per-row positions: cache slot (pos_offset + j) minus the
+            # row's pad; pad-slot queries clamp to 0 (masked anyway)
+            pos_idx = jnp.clip(pos_offset + jnp.arange(T)[None, :]
+                               - pad_lens[:, None], 0, d.n_text_ctx - 1)
+            x = tok_emb[tokens] + pos_emb[pos_idx]
 
         if kv_caches is None:
             mask = jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)
+            if pad_lens is not None:
+                # pad keys are invisible to every query EXCEPT themselves:
+                # a fully-masked softmax row yields NaN, and NaN pad
+                # values would poison real rows through 0-weight x NaN
+                keypad = (jnp.arange(T)[None, :]
+                          < pad_lens[:, None])[:, None, None, :]
+                eye = jnp.eye(T, dtype=bool)[None, None]
+                mask = jnp.where(keypad & ~eye, -jnp.inf, mask[None, None])
         else:
             # suffix decode: attend to cache positions <= current
             pos = pos_offset + jnp.arange(T)[:, None]
             keys = jnp.arange(d.n_text_ctx)[None, :]
             mask = jnp.where(keys <= pos, 0.0, -jnp.inf).astype(jnp.float32)
+            if pad_lens is not None:
+                # pad keys invisible EXCEPT to their own query slot (a
+                # fully-masked softmax row is NaN, and NaN pad values
+                # would poison real rows through 0-weight x NaN)
+                keypad = (jnp.arange(d.n_text_ctx)[None, :]
+                          < pad_lens[:, None])[:, None, None, :]
+                self_key = (keys == pos)[None, None]
+                mask = jnp.where(keypad & ~self_key, -jnp.inf,
+                                 mask[None, None])
 
         new_caches = []
         cross_ws = []
@@ -204,7 +247,8 @@ class TextDecoder(nn.Module):
             x, cw, nc = ResidualBlock(
                 d.n_text_state, d.n_text_head, cross_attention=True,
                 dtype=self.dtype, name=f"block_{i}")(
-                    x, xa, mask, cache, pos_offset)
+                    x, xa, mask, cache, pos_offset,
+                    cross_kv=cross_kvs[i] if cross_kvs is not None else None)
             new_caches.append(nc)
             if return_cross_attn:
                 cross_ws.append(cw)
@@ -237,6 +281,27 @@ class WhisperModel:
         return self.encoder.apply(variables["encoder"], mel)
 
     @partial(jax.jit, static_argnums=0)
+    def encode_windows(self, variables, mels, seeks, content_limits):
+        """Gather per-stream 30 s windows out of DEVICE-resident full-mel
+        arrays and encode them — the long-form loop keeps the mels on
+        device instead of round-tripping ~50 MB/session-batch through the
+        host per iteration.
+
+        mels: [B, n_mels, T]; seeks/content_limits: [B] frame indices.
+        Window frames at/past each stream's content extent are zeroed
+        (whisper pad_or_trim semantics: zero-padded normalized mel, not
+        mel-of-silence)."""
+        n_frames = 2 * self.dims.n_audio_ctx
+
+        def one(m, s0, lim):
+            w = jax.lax.dynamic_slice(m, (0, s0), (m.shape[0], n_frames))
+            idx = jnp.arange(n_frames)
+            return jnp.where(idx[None, :] < lim - s0, w, 0.0)
+
+        windows = jax.vmap(one)(mels, seeks, content_limits)
+        return self.encoder.apply(variables["encoder"], windows)
+
+    @partial(jax.jit, static_argnums=0)
     def decode_logits(self, variables, tokens, xa, pos_offset=0):
         logits, _, _ = self.decoder.apply(variables["decoder"], tokens, xa,
                                           pos_offset)
@@ -247,6 +312,24 @@ class WhisperModel:
         return [(jnp.zeros((batch, d.n_text_ctx, d.n_text_state), jnp.float32),
                  jnp.zeros((batch, d.n_text_ctx, d.n_text_state), jnp.float32))
                 for _ in range(d.n_text_layer)]
+
+    def precompute_cross_kv(self, decoder_variables, xa):
+        """Per-layer cross-attention (k, v) projections of xa — the same
+        math the cross_attn Dense layers run, hoisted out of the decode
+        loop (cross K/V depend only on the encoder output). Traceable:
+        call inside jit before the prefill."""
+        d = self.dims
+        dt = self.decoder.dtype
+        p = decoder_variables["params"]
+        xa_c = xa.astype(dt)
+        out = []
+        for i in range(d.n_text_layer):
+            ca = p[f"block_{i}"]["cross_attn"]
+            k = xa_c @ ca["key"]["kernel"].astype(dt)
+            v = xa_c @ ca["value"]["kernel"].astype(dt) \
+                + ca["value"]["bias"].astype(dt)
+            out.append((k, v))
+        return out
 
 
 def convert_whisper_state_dict(sd: Dict[str, np.ndarray], dims: WhisperDims

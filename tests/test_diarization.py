@@ -289,3 +289,24 @@ def test_embed_windows_device_gather_parity():
                                          windows, batch_size=8)
     assert e_dev.shape == e_host.shape
     np.testing.assert_allclose(e_dev, e_host, atol=2e-4, rtol=2e-4)
+
+
+def test_word_based_clustering_session_wavs(tmp_path):
+    """Passing resident session audio must reproduce the read-from-files
+    path (stream order = wav_file_name_ind; scale cancels in mel norm)."""
+    import jax.numpy as jnp
+    from notsofar_tpu.diarization.word_based import word_based_clustering
+    from notsofar_tpu.utils.audio import read_wav
+    df = _segments_df(tmp_path)
+    df["wav_file_name"] = df["wav_file_name"].astype("category")
+    df["wav_file_name_ind"] = df["wav_file_name"].cat.codes
+    cfg = DiarizationCfg(method="word_nmesc",
+                         min_embedding_windows=[1.0, 0.5],
+                         apply_deduplication=False)
+    enc = SpectralToyEncoder()
+    files = sorted(str(p) for p in tmp_path.glob("sep_stream*.wav"))
+    out_files = word_based_clustering(files, df, cfg, encoder=enc)
+    wavs = np.stack([read_wav(f, normalize=True) for f in files])
+    out_res = word_based_clustering(files, df, cfg, encoder=enc,
+                                    session_wavs=wavs, sr=16000)
+    assert list(out_files.speaker_id) == list(out_res.speaker_id)

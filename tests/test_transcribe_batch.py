@@ -57,3 +57,24 @@ def test_lockstep_decode_matches_serial_without_context(hf_pair):
     for ra, rb in zip(a, b):
         assert [s["text"] for s in ra["segments"]] == \
                [s["text"] for s in rb["segments"]]
+
+
+def test_device_resident_audio_matches_host(hf_pair):
+    """jnp (device-resident) audio entries must transcribe identically to
+    host numpy entries — the CSS->ASR handoff path that avoids
+    re-uploading separated audio."""
+    import jax.numpy as jnp
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    rng = np.random.RandomState(21)
+    audios = [rng.randn(16000).astype(np.float32) * 0.05,
+              rng.randn(24000).astype(np.float32) * 0.05]
+    tr = WhisperTranscriber(jm, variables, tok, TranscribeOptions(
+        word_timestamps=True, temperatures=(0.0,), logprob_threshold=None,
+        no_speech_threshold=None, max_new_tokens=8))
+    host = tr.transcribe_batch([a.copy() for a in audios])
+    dev = tr.transcribe_batch([jnp.asarray(a) for a in audios])
+    for rh, rd in zip(host, dev):
+        assert rh["text"] == rd["text"]
+        for sh, sd in zip(rh["segments"], rd["segments"]):
+            assert sh["tokens"] == sd["tokens"]

@@ -366,3 +366,72 @@ def test_log_mel_batch_matches_single():
         single = np.asarray(log_mel_spectrogram(
             jnp.asarray(np.pad(a, (0, N_SAMPLES)))))
         np.testing.assert_allclose(mb[b, :, :valid[b]], single, atol=1e-5)
+
+
+def test_decode_prompted_matches_serial(hf_pair):
+    """Left-padded batched prompts must reproduce per-row serial decodes:
+    masked pad slots and shifted positions make each row bit-equivalent
+    to its own unpadded decode."""
+    from notsofar_tpu.asr.decoding import DecodeOptions, GreedyDecoder
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    dec = GreedyDecoder(jm, tok, DecodeOptions(max_new_tokens=8))
+    rng = np.random.RandomState(11)
+    xa = jnp.asarray(rng.randn(3, 1500, 64).astype(np.float32) * 0.05)
+    prompts = [None, [5, 6, 7], list(range(40, 70))]
+    serial = [dec.decode(variables, xa[i:i + 1], prompts[i])
+              for i in range(3)]
+    batched = dec.decode_prompted(variables, xa, prompts)
+    for i in range(3):
+        assert batched["tokens"][i] == serial[i]["tokens"][0]
+        assert abs(float(batched["avg_logprob"][i])
+                   - float(serial[i]["avg_logprob"][0])) < 1e-3
+        assert abs(float(batched["no_speech_prob"][i])
+                   - float(serial[i]["no_speech_prob"][0])) < 1e-4
+
+
+def test_beam_prompted_matches_serial(hf_pair):
+    from notsofar_tpu.asr.beam import BeamDecoder
+    from notsofar_tpu.asr.decoding import DecodeOptions
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    dec = BeamDecoder(jm, tok, DecodeOptions(max_new_tokens=6), beam_size=3)
+    rng = np.random.RandomState(12)
+    xa = jnp.asarray(rng.randn(2, 1500, 64).astype(np.float32) * 0.05)
+    prompts = [None, [9, 10, 11, 12]]
+    serial = [dec.decode(variables, xa[i:i + 1], prompts[i])
+              for i in range(2)]
+    batched = dec.decode_prompted(variables, xa, prompts)
+    for i in range(2):
+        assert batched["tokens"][i] == serial[i]["tokens"][0]
+        assert abs(float(batched["avg_logprob"][i])
+                   - float(serial[i]["avg_logprob"][0])) < 1e-3
+
+
+def test_transcribe_batched_prompts_matches_serial(hf_pair):
+    """Full conditional transcription: the batched-prompt path must yield
+    the same segments as the serial per-stream path at temperature 0."""
+    from notsofar_tpu.asr.transcribe import (TranscribeOptions,
+                                             WhisperTranscriber)
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    rng = np.random.RandomState(13)
+    audios = [rng.randn(16000 * 2).astype(np.float32) * 0.05
+              for _ in range(2)]
+
+    def run(batched):
+        tr = WhisperTranscriber(jm, variables, tok, TranscribeOptions(
+            word_timestamps=True, condition_on_previous_text=True,
+            batched_prompts=batched, temperatures=(0.0,),
+            logprob_threshold=None, no_speech_threshold=None,
+            max_new_tokens=10))
+        return tr.transcribe_batch([a.copy() for a in audios])
+
+    a = run(True)
+    b = run(False)
+    for ra, rb in zip(a, b):
+        assert ra["text"] == rb["text"]
+        assert len(ra["segments"]) == len(rb["segments"])
+        for sa, sb in zip(ra["segments"], rb["segments"]):
+            assert sa["tokens"] == sb["tokens"]
+            assert abs(sa["start"] - sb["start"]) < 1e-6
