@@ -44,7 +44,7 @@ def detect_language(model: WhisperModel, variables,
     logits, _, _ = model.decoder.apply(variables["decoder"], sot, xa, 0, None)
     lang_items = sorted(tokenizer.specials.languages.items(),
                         key=lambda kv: kv[1])
-    lang_ids = jnp.asarray([i for _, i in lang_items])
+    lang_ids = np.asarray([i for _, i in lang_items])
     lang_logits = logits[:, 0, :][:, lang_ids]          # [B, L]
     best = np.asarray(jnp.argmax(lang_logits, axis=-1))
     codes = [lang_items[int(b)][0] for b in best]
@@ -101,12 +101,12 @@ class GreedyDecoder:
                 mask[lang_tok] = NEG_INF
         if not options.without_timestamps:
             mask[tokenizer.no_timestamps] = NEG_INF
-        self._suppress = jnp.asarray(mask)
+        self._suppress = mask   # np: lowered without a device round trip
         blank = np.zeros(d.n_vocab, np.float32)
         if options.suppress_blank:
             for t in tokenizer.encode(" ") + [tokenizer.eot]:
                 blank[t] = NEG_INF
-        self._suppress_blank = jnp.asarray(blank)
+        self._suppress_blank = blank
         self._ts_begin = tokenizer.timestamp_begin
         self._eot = tokenizer.eot
         self._max_initial_ts = self._ts_begin + int(
@@ -544,8 +544,82 @@ def merge_punctuations(words: List[Dict],
 
 _TF_JIT_CACHE: dict = {}
 
+_DTW_BIG = 1.0e30
 
-def _alignment_jit(model, heads_key, eot: int):
+
+def _dtw_token_starts(neg_cost, n_rows, n_cols):
+    """Monotonic DTW fully ON DEVICE: forward DP via a min-plus
+    associative scan per row, then a scanned traceback — returns each
+    token row's FIRST path frame (the only DTW output word timing needs),
+    so nothing but a [B, T] vector leaves the device (the [T, 1500] cost
+    matrices are ~1.5 MB per window; downloading them dominated the
+    word-timestamp stage over a narrow device link).
+
+    neg_cost: [B, T, F] (already negated attention matrix); n_rows/n_cols:
+    [B] valid extents (padding columns are masked with a huge cost, which
+    cannot affect D at real cells — the DP is forward-only).
+
+    The row recurrence D[i,j] = c[j] + min(D[i-1,j-1], D[i-1,j], D[i,j-1])
+    splits into a_j = min(D[i-1,j-1], D[i-1,j]) and the first-order
+    min-plus recurrence x_j = min(a_j + c_j, x_{j-1} + c_j), which is an
+    associative scan over pairs (c, b). Traceback recomputes the numpy
+    reference's tie order (diagonal <= up < left) from D; f32 vs the
+    host float64 DP can flip razor-tie decisions — sub-frame (20 ms)
+    jitter, covered by the differential test.
+
+    Returns tstart [B, T] float32 frame indices (F for never-visited /
+    padded rows)."""
+    B, T, F = neg_cost.shape
+    col = jnp.arange(F)
+    cost = jnp.where(col[None, None, :] >= n_cols[:, None, None],
+                     _DTW_BIG, neg_cost)
+
+    def row_step(D_prev, cost_row):
+        # D_prev [B, F+1]; cost_row [B, F]
+        a = jnp.minimum(D_prev[:, :-1], D_prev[:, 1:])
+        b = a + cost_row
+
+        def comb(l, r):
+            return (l[0] + r[0], jnp.minimum(l[1] + r[0], r[1]))
+
+        _, x = jax.lax.associative_scan(comb, (cost_row, b), axis=1)
+        D_row = jnp.concatenate(
+            [jnp.full((B, 1), _DTW_BIG, cost.dtype), x], axis=1)
+        return D_row, D_row
+
+    D0 = jnp.concatenate([jnp.zeros((B, 1), cost.dtype),
+                          jnp.full((B, F), _DTW_BIG, cost.dtype)], axis=1)
+    _, D_rows = jax.lax.scan(row_step, D0, jnp.moveaxis(cost, 1, 0))
+    D = jnp.concatenate([D0[None], D_rows], axis=0)     # [T+1, B, F+1]
+    D = jnp.moveaxis(D, 1, 0)                           # [B, T+1, F+1]
+
+    def traceback(Db, i0, j0):
+        def step(state, _):
+            i, j, tstart = state
+            active = (i > 0) & (j > 0)
+            c0 = Db[i - 1, j - 1]
+            c1 = Db[i - 1, j]
+            c2 = Db[i, j - 1]
+            tstart = jax.lax.cond(
+                active,
+                lambda ts: ts.at[i - 1].min(jnp.float32(j - 1)),
+                lambda ts: ts, tstart)
+            diag = (c0 <= c1) & (c0 <= c2)
+            up = (~diag) & (c1 < c2)
+            di = jnp.where(diag | up, 1, 0)
+            dj = jnp.where(diag | (~diag & ~up), 1, 0)
+            i = jnp.where(active, i - di, i)
+            j = jnp.where(active, j - dj, j)
+            return (i, j, tstart), None
+
+        init = (i0, j0, jnp.full((T,), jnp.float32(F)))
+        (_, _, tstart), _ = jax.lax.scan(step, init, None, length=T + F)
+        return tstart
+
+    return jax.vmap(traceback)(D, n_rows, n_cols)
+
+
+def _alignment_jit(model, heads_key, eot: int, sot_len: int):
     """Cached jitted BATCHED teacher-forced alignment pass.
 
     Runs the decoder teacher-forced AND the whisper timing post-processing
@@ -564,8 +638,11 @@ def _alignment_jit(model, heads_key, eot: int):
     are per-head, the final matrix is a plain head-mean), keeping peak
     memory at one layer's attention instead of the full stack.
 
-    Returns (dtw_matrix [B, L, 1500], next_token_probs [B, L-1])."""
-    key = (id(model), heads_key, eot)
+    The DTW itself ALSO runs on device (_dtw_token_starts) — only each
+    token's start frame and the token probabilities are downloaded.
+    Returns (token_starts [B, L - sot_len - 1], next_token_probs
+    [B, L-1])."""
+    key = (id(model), heads_key, eot, sot_len)
     fn = _TF_JIT_CACHE.get(key)
     if fn is None:
         import jax
@@ -591,8 +668,8 @@ def _alignment_jit(model, heads_key, eot: int):
             wn = (w - mean) / (jnp.sqrt(var) + 1e-9)
             return median7(wn).sum(axis=1)              # [B, T, F]
 
-        def run(variables, toks, xa, n_real):
-            # toks [B, L], xa [B, 1500, D], n_real [B]
+        def run(variables, toks, xa, n_real, n_cols):
+            # toks [B, L], xa [B, 1500, D], n_real/n_cols [B]
             logits, _, cross = model.decoder.apply(
                 variables["decoder"], toks, xa, 0, None,
                 return_cross_attn=True)
@@ -616,7 +693,10 @@ def _alignment_jit(model, heads_key, eot: int):
             nxt = jnp.clip(toks[:, 1:], 0, eot - 1)
             tok_probs = jnp.take_along_axis(probs[:, :-1], nxt[..., None],
                                             2)[..., 0]
-            return matrix, tok_probs
+            # DTW on device: rows = the text-token slice of the matrix
+            rows = matrix[:, sot_len:-1]
+            tstart = _dtw_token_starts(-rows, n_real - sot_len - 1, n_cols)
+            return tstart, tok_probs
 
         fn = jax.jit(run)
         _TF_JIT_CACHE[key] = fn
@@ -689,7 +769,8 @@ def find_word_timestamps_batch(model: WhisperModel, variables,
                  ("layers", tuple(int(i) for i in alignment_layers)))
     max_bs = _ALIGN_MAX_BS_HEADS if alignment_heads else \
         _ALIGN_MAX_BS_LAYERS
-    fn = _alignment_jit(model, heads_key, int(tokenizer.eot))
+    sot_len = len(tokenizer.sot_sequence) + 1
+    fn = _alignment_jit(model, heads_key, int(tokenizer.eot), sot_len)
 
     items = []
     for i, text_tokens in enumerate(text_tokens_list):
@@ -710,57 +791,52 @@ def find_word_timestamps_batch(model: WhisperModel, variables,
             B = len(chunk)
             toks = np.full((B, pad_to), tokenizer.eot, np.int32)
             n_real = np.zeros(B, np.int32)
+            n_cols = np.zeros(B, np.int32)
             for j, (_, i, full, L) in enumerate(chunk):
                 toks[j, :L] = full
                 n_real[j] = L
+                n_cols[j] = num_frames_list[i] // 2
             xa = jnp.concatenate([xa_list[i] for _, i, _, _ in chunk],
                                  axis=0)
-            mats, probs = fn(variables, jnp.asarray(toks), xa,
-                             jnp.asarray(n_real))
-            mats = np.asarray(mats)
+            tstarts, probs = fn(variables, jnp.asarray(toks), xa,
+                                jnp.asarray(n_real), jnp.asarray(n_cols))
+            tstarts = np.asarray(tstarts)
             probs = np.asarray(probs)
             for j, (_, i, full, L) in enumerate(chunk):
+                n_text = len(text_tokens_list[i])
                 results[i] = _finish_word_timestamps(
-                    mats[j, :L, :num_frames_list[i] // 2], probs[j],
-                    tokenizer, text_tokens_list[i], num_frames_list[i],
+                    tstarts[j, :n_text], probs[j], tokenizer,
+                    text_tokens_list[i], num_frames_list[i],
                     time_offsets[i], merge)
     return results
 
 
-def _finish_word_timestamps(matrix_full: np.ndarray, tok_probs: np.ndarray,
+def _finish_word_timestamps(tstart: np.ndarray, tok_probs: np.ndarray,
                             tokenizer: WhisperTokenizer,
                             text_tokens: List[int], num_frames: int,
                             time_offset: float, merge: bool) -> List[Dict]:
-    """Host tail of the alignment: DTW + token->word start times.
+    """Host tail of the alignment: token start frames -> word dicts.
 
-    matrix_full: [L, num_frames//2] (already sliced to the real rows and
-    valid frames); tok_probs: next-token probabilities under the
-    text-vocab-restricted softmax (whisper timing.find_alignment), used
-    for word probability = mean over its tokens — feeds the hallucination
-    anomaly score."""
+    tstart: [n_text] each token row's first DTW path frame (device DTW);
+    tok_probs: next-token probabilities under the text-vocab-restricted
+    softmax (whisper timing.find_alignment), used for word probability =
+    mean over its tokens — feeds the hallucination anomaly score."""
     n_text = len(text_tokens)
     sot_len = len(tokenizer.sot_sequence) + 1
     text_token_probs = tok_probs[sot_len - 1:sot_len - 1 + n_text]
-    matrix = matrix_full[sot_len:-1]         # text tokens + eot? exclude eot
-    if matrix.shape[0] == 0 or matrix.shape[1] == 0:
+    if n_text == 0 or num_frames // 2 == 0:
         return []
-    text_idx, time_idx = dtw_path(-matrix)
 
     words, word_tokens = tokenizer.split_to_word_tokens(list(text_tokens))
     if not words:
         return []
     # first path time for each token row (the 'jump' into that row), plus a
     # sentinel end time at the window's valid extent
-    n_tok = matrix.shape[0]
+    n_tok = n_text
     token_start = np.full(n_tok + 1, (num_frames // 2) * 0.02)
-    seen = np.zeros(n_tok + 1, bool)
-    for ti_, tj in zip(text_idx, time_idx):
-        if not seen[ti_]:
-            token_start[ti_] = tj * 0.02
-            seen[ti_] = True
+    token_start[:n_tok] = np.minimum(tstart, num_frames // 2) * 0.02
     # monotonic fill
-    for k in range(1, n_tok + 1):
-        token_start[k] = max(token_start[k], token_start[k - 1])
+    token_start = np.maximum.accumulate(token_start)
     out = []
     pos = 0
     for word, wt in zip(words, word_tokens):

@@ -80,7 +80,7 @@ def log_mel_spectrogram(audio: jnp.ndarray, n_mels: int = 80,
     Matches whisper's log_mel_spectrogram: reflect-padded centered STFT,
     last frame dropped, power spectrum, mel projection, log10 dynamics.
     """
-    Kr, Ki = (jnp.asarray(m) for m in _stft_matrices())
+    Kr, Ki = _stft_matrices()   # np: lowered without device round trips
     pad = N_FFT // 2
     x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)],
                 mode="reflect")
@@ -92,7 +92,7 @@ def log_mel_spectrogram(audio: jnp.ndarray, n_mels: int = 80,
     i = jnp.einsum("...tl,fl->...ft", frames, Ki,
                    preferred_element_type=jnp.float32)
     mag2 = (r * r + i * i)[..., :-1]             # drop last frame (whisper)
-    fb = jnp.asarray(mel_filterbank(n_mels))
+    fb = mel_filterbank(n_mels)
     mel = jnp.einsum("mf,...ft->...mt", fb, mag2,
                      preferred_element_type=jnp.float32)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
@@ -101,6 +101,7 @@ def log_mel_spectrogram(audio: jnp.ndarray, n_mels: int = 80,
     return (log_spec + 4.0) / 4.0
 
 
+@partial(jax.jit, static_argnames=("n_mels",))
 def log_mel_spectrogram_batch(audio: jnp.ndarray,
                               valid_frames: jnp.ndarray,
                               n_mels: int = 80) -> jnp.ndarray:
@@ -113,7 +114,7 @@ def log_mel_spectrogram_batch(audio: jnp.ndarray,
     valid frames; rows sliced to their own extent are then bit-identical
     to per-stream calls (trailing batch padding is zeros, exactly what the
     per-stream call pads with)."""
-    Kr, Ki = (jnp.asarray(m) for m in _stft_matrices())
+    Kr, Ki = _stft_matrices()   # np: lowered without device round trips
     pad = N_FFT // 2
     x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)],
                 mode="reflect")
@@ -125,7 +126,7 @@ def log_mel_spectrogram_batch(audio: jnp.ndarray,
     i = jnp.einsum("...tl,fl->...ft", frames, Ki,
                    preferred_element_type=jnp.float32)
     mag2 = (r * r + i * i)[..., :-1]
-    fb = jnp.asarray(mel_filterbank(n_mels))
+    fb = mel_filterbank(n_mels)
     mel = jnp.einsum("mf,...ft->...mt", fb, mag2,
                      preferred_element_type=jnp.float32)
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))

@@ -247,9 +247,9 @@ class CssEngine:
             stitch_in[:, :-1, :, None, :, -overlap:],   # left seg i, row a
             stitch_in[:, 1:, None, :, :, :overlap])     # right seg i+1, col b
         lm_all = lm_elem.mean(axis=(4, 5))              # [Sb, num_seg-1, S, S]
-        all_perms = jnp.asarray(
-            np.array(list(__import__("itertools").permutations(range(S))),
-                     dtype=np.int32))                    # [P, S]
+        all_perms = np.array(
+            list(__import__("itertools").permutations(range(S))),
+            dtype=np.int32)                              # [P, S]
         P = all_perms.shape[0]
 
         def chain_step(p_prev, lm):
@@ -260,7 +260,7 @@ class CssEngine:
                 jnp.broadcast_to(all_perms[None, :, :, None], (Sb, P, S, 1)),
                 axis=3)[..., 0]                          # [Sb, P, S]
             totals = gathered.sum(axis=-1)               # [Sb, P]
-            r = all_perms[jnp.argmin(totals, axis=-1)]   # [Sb, S]
+            r = jnp.asarray(all_perms)[jnp.argmin(totals, axis=-1)]  # [Sb,S]
             return r, r
 
         p0 = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (Sb, S))

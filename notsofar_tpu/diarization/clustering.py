@@ -136,7 +136,7 @@ def _eval_candidates(affinity: np.ndarray, candidates: np.ndarray,
     N = affinity.shape[0]
 
     def eval_host(p):
-        aff_p = binarize_top_p(affinity, int(p))
+        aff_p = binarize_top_p(np.asarray(affinity, np.float64), int(p))
         num_spk, lambdas, gaps = estimate_num_speakers(aff_p,
                                                        max_num_speakers)
         lambda_max = max(lambdas.max(), 1e-10)
@@ -164,58 +164,104 @@ def _eval_candidates(affinity: np.ndarray, candidates: np.ndarray,
 
 
 _EIG_JIT_CACHE: dict = {}
-_PAD_DIAG = 1.0e6       # pad-node Laplacian diagonal; >> any real
-#   eigenvalue (bounded by 2*max degree <= 2N) so pad eigenvalues sort
-#   strictly above every real one
+_PAD_DIAG = 1.0e6       # pad-node Laplacian diagonal for the dense-eigh
+#   paths; >> any real eigenvalue (bounded by 2*max degree <= 2N) so pad
+#   eigenvalues sort strictly above every real one
+_LOBPCG_GUARD = 3       # extra Ritz vectors: the edge eigenvalue of the
+#   requested block converges worst, so solve k+guard and keep k
+_LOBPCG_ITERS = 60
+_POWER_ITERS = 80
 
 
 def _candidate_eigs_device(affinity: np.ndarray, candidates: np.ndarray,
                            max_num_speakers: int):
     """One batched device program: top-p binarize (threshold semantics) +
-    symmetrize + Laplacian + eigvalsh for every candidate.
+    symmetrize + Laplacian + eigen-statistics for every candidate.
 
-    Returns (lam_small [P, K+1] smallest eigenvalues ascending,
-    lam_max [P]) as numpy. Ties at the p-th largest per row keep ALL tied
+    A dense batched eigvalsh on TPU (QDWH-based) costs ~15-20 s per
+    session at N~1000 x 30 candidates; the NME statistic only needs the
+    K+1 SMALLEST eigenvalues and the largest, so this uses matmul-shaped
+    iterative solvers that live on the MXU:
+
+    * smallest K+1: LOBPCG on the spectral complement (sigma*I - L) with
+      sigma = 2*max_degree (Gershgorin upper bound). Pad nodes carry NO
+      edges and diagonal exactly sigma, so their complement eigenvalues
+      are 0 — strictly below every real one — and zeroed initial rows
+      keep the iteration inside the real block.
+    * largest: Rayleigh-quotient power iteration masked to real nodes.
+
+    Accuracy is ~1e-3 relative on the eigengap statistics (the decision
+    is an argmax over O(1) gaps) — differential-tested against the
+    float64 host path. Ties at the p-th largest per row keep ALL tied
     entries (argpartition keeps an arbitrary subset) — measure-zero for
-    real embeddings and covered by the parity test.
+    real embeddings.
 
-    Shapes are bucketed: N pads to a multiple of 256 and the candidate
-    list to its nominal volume, so the jit cache stays small across
-    sessions. Pad nodes carry no edges and a huge Laplacian diagonal,
-    placing their eigenvalues strictly above all real ones: the smallest
-    K+1 are untouched and the true maximum is eigenvalue [n_real - 1]."""
+    Returns (lam_small [P, K+1] ascending, lam_max [P]) as numpy. Shapes
+    are bucketed (N to a multiple of 256, candidates to their nominal
+    volume) so the jit cache stays small across sessions."""
     import jax
     import jax.numpy as jnp
+    from jax.experimental.sparse.linalg import lobpcg_standard
 
     N = affinity.shape[0]
     upper = min(max_num_speakers + 1, N)
     N_pad = int(np.ceil(N / 256) * 256)
     P = len(candidates)
     P_pad = max(P, 30)
-    key = (N_pad, P_pad, upper)
+    k_solve = min(upper + _LOBPCG_GUARD, max(N // 4, upper))
+    key = (N_pad, P_pad, upper, k_solve)
     fn = _EIG_JIT_CACHE.get(key)
     if fn is None:
+        x0_np = np.random.RandomState(0).randn(
+            N_pad, k_solve).astype(np.float32)
+
         def run(aff, cand, n_real):
             idx = jnp.arange(N_pad)
             real = idx < n_real
+            realf = real.astype(aff.dtype)
             srt = jnp.sort(aff, axis=1)[:, ::-1]        # desc per row
             thr = srt[:, cand - 1].T                    # [P, N]
             x = jnp.where(aff[None] >= thr[:, :, None], aff[None], 0.0)
             sym = 0.5 * (x + jnp.swapaxes(x, 1, 2))
             deg = sym.sum(axis=2)
-            diag = jnp.where(real[None], deg, _PAD_DIAG)
+            alpha = 2.0 * deg.max(axis=1) + 1e-3        # [P] Gershgorin
+            diag = jnp.where(real[None], deg, alpha[:, None])
             eye = jnp.eye(N_pad, dtype=aff.dtype)
             lap = -sym + eye[None] * diag[:, :, None]
-            lam = jnp.linalg.eigvalsh(lap)              # [P, Npad] ascending
-            return lam[:, :upper], lam[:, n_real - 1]
+            comp = alpha[:, None, None] * eye[None] - lap
+
+            x0 = jnp.asarray(x0_np) * realf[:, None]
+
+            def small(a):
+                theta, _, _ = lobpcg_standard(a, x0, m=_LOBPCG_ITERS)
+                return theta
+            theta = jax.vmap(small)(comp)               # [P, k_solve] desc-ish
+            lam_small = jnp.sort(alpha[:, None] - theta, axis=1)[:, :upper]
+
+            v = jnp.broadcast_to(x0[:, 0] * realf, (P_pad, N_pad))
+
+            def piter(v, _):
+                v = jnp.einsum("pij,pj->pi", lap, v) * realf[None]
+                v = v / jnp.maximum(
+                    jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+                return v, None
+            v, _ = jax.lax.scan(piter, v, None, length=_POWER_ITERS)
+            lv = jnp.einsum("pij,pj->pi", lap, v)
+            lam_max = jnp.einsum("pi,pi->p", v, lv)
+            return lam_small, lam_max
         fn = jax.jit(run)
         _EIG_JIT_CACHE[key] = fn
 
-    aff_pad = np.zeros((N_pad, N_pad), np.float32)
-    aff_pad[:N, :N] = affinity
+    if isinstance(affinity, np.ndarray):
+        aff_pad = np.zeros((N_pad, N_pad), np.float32)
+        aff_pad[:N, :N] = affinity
+        aff_dev = jnp.asarray(aff_pad)
+    else:   # already device-resident: pad there, upload nothing
+        aff_dev = jnp.pad(affinity.astype(jnp.float32),
+                          ((0, N_pad - N), (0, N_pad - N)))
     cand_pad = np.concatenate(
         [candidates, np.full(P_pad - P, candidates[-1])]).astype(np.int32)
-    lam_small, lam_max = fn(jnp.asarray(aff_pad), jnp.asarray(cand_pad),
+    lam_small, lam_max = fn(aff_dev, jnp.asarray(cand_pad),
                             jnp.asarray(N, jnp.int32))
     return (np.asarray(lam_small, np.float64)[:P],
             np.asarray(lam_max, np.float64)[:P])
@@ -248,8 +294,9 @@ def nmesc(affinity: np.ndarray, max_num_speakers: int = 8,
     """
     N = affinity.shape[0]
     if N < min_samples_for_nmesc:
+        aff_np = np.asarray(affinity, np.float64)
         return NmescResult(1 if N <= 1 else
-                           estimate_num_speakers(affinity, 2)[0], max(1, N // 2), 0.0)
+                           estimate_num_speakers(aff_np, 2)[0], max(1, N // 2), 0.0)
     p_max = max(int(np.floor(N * max_rp_threshold)), 2)
     candidates = np.unique(np.linspace(1, p_max, num=min(
         sparse_search_volume, p_max)).astype(int))
@@ -264,16 +311,66 @@ def nmesc(affinity: np.ndarray, max_num_speakers: int = 8,
     # meaningless speaker count — raise p until the graph is connected and
     # re-estimate there. NeMo walks its candidate list; we continue up to N
     # so small-N inputs (where max_rp_threshold*N is just 2-3 neighbors)
-    # also recover.
-    if not is_graph_fully_connected(binarize_top_p(affinity, best.p_hat)):
+    # also recover. The common (connected) case is checked on device for
+    # resident affinities; the rare repair loop downloads once.
+    if _is_device_array(affinity) and _accelerator_available():
+        connected = _connected_device(_binarize_device(affinity,
+                                                       best.p_hat))
+    else:
+        connected = is_graph_fully_connected(
+            binarize_top_p(np.asarray(affinity, np.float64), best.p_hat))
+    if not connected:
+        aff_np = np.asarray(affinity, np.float64)
         for p in range(best.p_hat + 1, N + 1):
-            aff_p = binarize_top_p(affinity, p)
+            aff_p = binarize_top_p(aff_np, p)
             if is_graph_fully_connected(aff_p):
                 num_spk, _, _ = estimate_num_speakers(aff_p,
                                                       max_num_speakers)
                 best = NmescResult(num_spk, p, best.g_p)
                 break
     return best
+
+
+_CONN_JIT_CACHE: dict = {}
+
+
+def _connected_device(aff_bin) -> bool:
+    """Graph connectivity on device: frontier expansion v <- v | Av from
+    node 0 until the frontier stops growing; one bool crosses the link.
+
+    Shapes are bucketed (N pads to a multiple of 256); pad nodes attach
+    to node 0 with artificial edges, which cannot create new REAL
+    connectivity (any real-real path through a pad node must pass
+    through node 0 anyway) but keeps them trivially reachable."""
+    import jax
+    import jax.numpy as jnp
+    N = aff_bin.shape[0]
+    N_pad = int(np.ceil(N / 256) * 256)
+    fn = _CONN_JIT_CACHE.get(N_pad)
+    if fn is None:
+        def run(adj):
+            def cond(st):
+                v, prev, it = st
+                return (v.sum() != prev) & (it < N_pad)
+
+            def body(st):
+                v, _, it = st
+                cnt = v.sum()
+                v = jnp.clip(v + adj @ v, 0.0, 1.0)
+                return (v, cnt, it + 1)
+
+            v0 = jnp.zeros((N_pad,), jnp.float32).at[0].set(1.0)
+            v, _, _ = jax.lax.while_loop(
+                cond, body, (v0, jnp.float32(-1.0), jnp.int32(0)))
+            return jnp.all(v > 0)
+        fn = jax.jit(run)
+        _CONN_JIT_CACHE[N_pad] = fn
+    adj = jnp.pad((aff_bin > 0).astype(jnp.float32),
+                  ((0, N_pad - N), (0, N_pad - N)))
+    if N_pad > N:
+        pad_idx = jnp.arange(N, N_pad)
+        adj = adj.at[pad_idx, 0].set(1.0).at[0, pad_idx].set(1.0)
+    return bool(fn(adj))
 
 
 def _kmeans_pp_init(x: np.ndarray, k: int, rng: np.random.RandomState
@@ -318,9 +415,9 @@ def spectral_clustering(aff: np.ndarray, n_clusters: int, seed: int = 0
     t0 = time.time()
     N = aff.shape[0]
     if _accelerator_available() and N >= 64:
-        emb = _laplacian_eigvecs_device(aff, n_clusters)
+        emb = _laplacian_eigvecs_device(aff, n_clusters)   # device [N, k]
     else:
-        L = laplacian(aff)
+        L = laplacian(np.asarray(aff, np.float64))
         vals, vecs = _safe_eigh(L)
         emb = vecs[:, :n_clusters]
     t1 = time.time()
@@ -328,8 +425,7 @@ def spectral_clustering(aff: np.ndarray, n_clusters: int, seed: int = 0
     # degenerate-subspace rotations are orthogonal column transforms that
     # preserve all row distances, so labels match across backends
     if _accelerator_available() and N >= 64:
-        labels = _kmeans_device(np.asarray(emb, np.float32), n_clusters,
-                                seed=seed)
+        labels = _kmeans_device(emb, n_clusters, seed=seed)
     else:
         labels = kmeans(emb, n_clusters, seed=seed).astype(np.int64)
     LAST_TIMINGS.update(eigvecs=round(t1 - t0, 2),
@@ -406,9 +502,13 @@ def _kmeans_device(x_np: np.ndarray, k: int, seed: int = 0,
         fn = jax.jit(run)
         _KM_JIT_CACHE[key_shape] = fn
 
-    x_pad = np.zeros((N_pad, D), np.float32)
-    x_pad[:N] = x_np
-    labels = fn(jnp.asarray(x_pad), jnp.asarray(N, jnp.int32),
+    if isinstance(x_np, np.ndarray):
+        x_pad = np.zeros((N_pad, D), np.float32)
+        x_pad[:N] = x_np
+        x_dev = jnp.asarray(x_pad)
+    else:
+        x_dev = jnp.pad(x_np.astype(jnp.float32), ((0, N_pad - N), (0, 0)))
+    labels = fn(x_dev, jnp.asarray(N, jnp.int32),
                 jax.random.PRNGKey(seed))
     return np.asarray(labels)[:N].astype(np.int64)
 
@@ -416,52 +516,94 @@ def _kmeans_device(x_np: np.ndarray, k: int, seed: int = 0,
 _VEC_JIT_CACHE: dict = {}
 
 
-def _laplacian_eigvecs_device(aff: np.ndarray, k: int) -> np.ndarray:
-    """k smallest Laplacian eigenvectors on the accelerator (f32), with the
-    same spectral-safe padding as _candidate_eigs_device: pad nodes carry
-    no edges and a huge diagonal, so their eigenpairs sort strictly above
-    every real one and the k smallest eigenvectors are the real ones
-    zero-extended."""
+def _laplacian_eigvecs_device(aff, k: int):
+    """k smallest Laplacian eigenvectors on the accelerator via LOBPCG on
+    the spectral complement (sigma*I - L; see _candidate_eigs_device —
+    the dense QDWH eigh costs ~0.5 s where the iterative solve is ~ms).
+    Pad nodes carry no edges, diagonal exactly sigma, and zeroed initial
+    rows, so the iteration stays inside the real block. aff may be a
+    device array (padded there). Returns a DEVICE array [N, k]."""
     import jax
     import jax.numpy as jnp
+    from jax.experimental.sparse.linalg import lobpcg_standard
 
     N = aff.shape[0]
     N_pad = int(np.ceil(N / 256) * 256)
-    key = (N_pad,)
+    k_solve = min(k + _LOBPCG_GUARD, max(N // 4, k))
+    key = (N_pad, k, k_solve)
     fn = _VEC_JIT_CACHE.get(key)
     if fn is None:
+        x0_np = np.random.RandomState(1).randn(
+            N_pad, k_solve).astype(np.float32)
+
         def run(a, n_real):
             real = jnp.arange(N_pad) < n_real
+            realf = real.astype(a.dtype)
             deg = a.sum(axis=1)
-            diag = jnp.where(real, deg - jnp.diagonal(a), _PAD_DIAG)
+            alpha = 2.0 * deg.max() + 1e-3
+            diag = jnp.where(real, deg - jnp.diagonal(a), alpha)
             eye = jnp.eye(N_pad, dtype=a.dtype)
             lap = jnp.where(eye > 0, 0.0, -a) + eye * diag[:, None]
-            _, vecs = jnp.linalg.eigh(lap)
-            return vecs
+            comp = alpha * eye - lap
+            x0 = jnp.asarray(x0_np) * realf[:, None]
+            theta, u, _ = lobpcg_standard(comp, x0, m=_LOBPCG_ITERS)
+            # theta descending in the complement = ascending Laplacian
+            order = jnp.argsort(alpha - theta)
+            return u[:, order[:k]]
         fn = jax.jit(run)
         _VEC_JIT_CACHE[key] = fn
-    a_pad = np.zeros((N_pad, N_pad), np.float32)
-    a_pad[:N, :N] = aff
-    vecs = np.asarray(fn(jnp.asarray(a_pad), jnp.asarray(N, jnp.int32)),
-                      np.float64)
-    return vecs[:N, :k]
+    if isinstance(aff, np.ndarray):
+        a_pad = np.zeros((N_pad, N_pad), np.float32)
+        a_pad[:N, :N] = aff
+        a_dev = jnp.asarray(a_pad)
+    else:
+        a_dev = jnp.pad(aff.astype(jnp.float32),
+                        ((0, N_pad - N), (0, N_pad - N)))
+    return fn(a_dev, jnp.asarray(N, jnp.int32))[:N]
 
 
 LAST_TIMINGS: dict = {}
 
 
-def run_clustering(raw_affinity: np.ndarray, max_num_speakers: int = 8,
+def _is_device_array(x) -> bool:
+    return not isinstance(x, np.ndarray)
+
+
+def run_clustering(raw_affinity, max_num_speakers: int = 8,
                    max_rp_threshold: float = 0.06,
                    sparse_search_volume: int = 30) -> np.ndarray:
     """NMESC + spectral clustering, contract parity with run_clustering
-    (word_based_diarization.py:32-50)."""
+    (word_based_diarization.py:32-50).
+
+    raw_affinity may be a DEVICE array: the whole chain (candidate
+    search, final binarize, spectral eigenvectors, k-means) then runs on
+    the accelerator and only the labels come back — no affinity matrix
+    crosses the host link. The final binarize uses threshold-tie
+    semantics there (keeps ALL ties at the p-th largest; the host
+    argpartition keeps an arbitrary p-subset — measure-zero for real
+    embeddings, parity-tested)."""
     import time
     t0 = time.time()
     res = nmesc(raw_affinity, max_num_speakers, max_rp_threshold,
                 sparse_search_volume)
     t1 = time.time()
-    aff = binarize_top_p(raw_affinity, res.p_hat)
+    if _is_device_array(raw_affinity) and _accelerator_available() \
+            and raw_affinity.shape[0] >= 64:
+        import jax.numpy as jnp
+        aff = _binarize_device(raw_affinity, res.p_hat)
+    else:
+        aff = binarize_top_p(np.asarray(raw_affinity, np.float64),
+                             res.p_hat)
     labels = spectral_clustering(aff, res.num_speakers)
     LAST_TIMINGS.update(nmesc=round(t1 - t0, 2),
                         spectral=round(time.time() - t1, 2))
     return labels
+
+
+def _binarize_device(aff, p: int):
+    """Top-p row pruning + symmetrize on device (threshold semantics)."""
+    import jax.numpy as jnp
+    srt = jnp.sort(aff, axis=1)[:, ::-1]
+    thr = srt[:, p - 1]
+    x = jnp.where(aff >= thr[:, None], aff, 0.0)
+    return 0.5 * (x + x.T)

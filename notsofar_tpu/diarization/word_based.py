@@ -149,27 +149,49 @@ def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
                                ((0, 0), (0, L_pad + max_blen - L)))
 
     D = encoder.cfg.emb_dim if hasattr(encoder, "cfg") else None
+    if device_gather:
+        # embeddings accumulate ON DEVICE (one scatter at the end): the
+        # clustering chain consumes them there, so no embedding matrix
+        # crosses the host link. ONE dispatch per length bucket — the
+        # chunk loop lives inside the jit (lax.map), because per-dispatch
+        # latency over the host link dominated this stage
+        parts, w_idx, s_idx = [], [], []
+        for blen, items in sorted(buckets.items()):
+            # chunk count rounds to a power of two so the one-dispatch
+            # program compiles O(log) times per bucket across sessions
+            n_chunks = 1 << max(
+                int(math.ceil(math.log2(max(
+                    math.ceil(len(items) / batch_size), 1)))), 0)
+            M = n_chunks * batch_size
+            chans = np.zeros(M, np.int32)
+            starts = np.zeros(M, np.int32)
+            lengths = np.ones(M, np.int32)
+            for j, (wi, si, ch, s0, ln) in enumerate(items):
+                chans[j], starts[j] = ch, s0
+                lengths[j] = min(ln, blen)
+                w_idx.append(wi)
+                s_idx.append(si)
+            parts.append(encoder.embed_windows(
+                sess_dev, chans, starts, blen, lengths,
+                inner_bs=batch_size)[:len(items)])
+        if not parts:
+            return np.zeros((0, n_scales, D or 192), np.float32)
+        emb_all = jnp.concatenate(parts, axis=0)
+        out = jnp.zeros((len(words), n_scales, emb_all.shape[-1]),
+                        jnp.float32)
+        return out.at[np.asarray(w_idx), np.asarray(s_idx)].set(emb_all)
+
     out = None
     for blen, items in sorted(buckets.items()):
         for i in range(0, len(items), batch_size):
             chunk = items[i:i + batch_size]
-            if device_gather:
-                chans = np.zeros(batch_size, np.int32)
-                starts = np.zeros(batch_size, np.int32)
-                lengths = np.ones(batch_size, np.int32)
-                for j, (wi, si, ch, s0, ln) in enumerate(chunk):
-                    chans[j], starts[j] = ch, s0
-                    lengths[j] = min(ln, blen)
-                emb = encoder.embed_windows(sess_dev, chans, starts, blen,
-                                            lengths)
-            else:
-                batch = np.zeros((batch_size, blen), np.float32)
-                lengths = np.ones(batch_size, np.int32)
-                for j, (wi, si, ch, s0, ln) in enumerate(chunk):
-                    ln = min(ln, blen)
-                    batch[j, :ln] = wavs[ch, s0:s0 + ln]
-                    lengths[j] = ln
-                emb = encoder.embed(batch, lengths)  # [batch_size, D]
+            batch = np.zeros((batch_size, blen), np.float32)
+            lengths = np.ones(batch_size, np.int32)
+            for j, (wi, si, ch, s0, ln) in enumerate(chunk):
+                ln = min(ln, blen)
+                batch[j, :ln] = wavs[ch, s0:s0 + ln]
+                lengths[j] = ln
+            emb = np.asarray(encoder.embed(batch, lengths))
             if out is None:
                 D = emb.shape[-1]
                 out = np.zeros((len(words), n_scales, D), np.float32)
@@ -178,6 +200,32 @@ def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
     if out is None:
         out = np.zeros((0, n_scales, D or 192), np.float32)
     return out
+
+
+def _cos_affinity_multiscale_device(emb):
+    """Scale-averaged min-max-scaled cosine affinity, mirroring
+    cos_affinity_matrix per scale, on device (f32): emb [N, S, D] ->
+    [N, N]. Feeds the device clustering chain without a host round
+    trip."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(e):
+        e = jnp.moveaxis(e, 1, 0)                       # [S, N, D]
+        norm = jnp.linalg.norm(e, axis=2, keepdims=True) + 1e-12
+        u = e / norm
+        sim = jnp.einsum("snd,smd->snm", u, u)
+        N = sim.shape[-1]
+        eye = jnp.eye(N, dtype=sim.dtype)
+        sim = sim * (1 - eye)[None] + eye[None]
+        lo = sim.min(axis=(1, 2), keepdims=True)
+        hi = sim.max(axis=(1, 2), keepdims=True)
+        scaled = jnp.where(hi - lo < 1e-12, jnp.ones_like(sim),
+                           (sim - lo) / jnp.maximum(hi - lo, 1e-12))
+        return scaled.mean(axis=0)
+
+    return run(emb)
 
 
 def word_based_clustering(audio_files: list, segments_df: pd.DataFrame,
@@ -226,9 +274,12 @@ def word_based_clustering(audio_files: list, segments_df: pd.DataFrame,
         emb = extract_embeddings_bucketed(encoder, wavs, sr, words, windows)
 
     with timer.stage("affinity"):
-        n_scales = emb.shape[1]
-        affinity = np.mean([cos_affinity_matrix(emb[:, s])
-                            for s in range(n_scales)], axis=0)
+        if isinstance(emb, np.ndarray):
+            n_scales = emb.shape[1]
+            affinity = np.mean([cos_affinity_matrix(emb[:, s])
+                                for s in range(n_scales)], axis=0)
+        else:   # device-resident embeddings -> device affinity
+            affinity = _cos_affinity_multiscale_device(emb)
     with timer.stage("clustering"):
         labels = run_clustering(affinity)
 

@@ -61,8 +61,8 @@ def titanet_features(audio: jnp.ndarray, sr: int = 16000,
     w = 0.5 * (1 - np.cos(2 * np.pi * n / (win - 1)))  # symmetric hann
     f = np.arange(nfft // 2 + 1)
     ph = 2 * np.pi * np.outer(f, n) / nfft
-    Kr = jnp.asarray((np.cos(ph) * w).astype(np.float32))
-    Ki = jnp.asarray((-np.sin(ph) * w).astype(np.float32))
+    Kr = (np.cos(ph) * w).astype(np.float32)
+    Ki = (-np.sin(ph) * w).astype(np.float32)
     pad = win // 2
     x = jnp.pad(audio, [(0, 0)] * (audio.ndim - 1) + [(pad, pad)],
                 mode="reflect")
@@ -74,7 +74,7 @@ def titanet_features(audio: jnp.ndarray, sr: int = 16000,
     i = jnp.einsum("...tl,fl->...ft", frames, Ki,
                    preferred_element_type=jnp.float32)
     mag2 = r * r + i * i
-    fb = jnp.asarray(mel_filterbank(n_mels, sr, nfft))
+    fb = mel_filterbank(n_mels, sr, nfft)
     mel = jnp.einsum("mf,...ft->...mt", fb, mag2,
                      preferred_element_type=jnp.float32)
     logmel = jnp.log(mel + 2 ** -24)
@@ -250,9 +250,29 @@ class SpeakerEncoder:
         return np.asarray(self._embed(self.variables, jnp.asarray(wavs),
                                       jnp.asarray(lengths)))
 
-    @partial(jax.jit, static_argnums=(0, 5))
-    def _embed_gather(self, variables, session_wavs, chans, starts, blen,
-                      lengths_samples):
+    @partial(jax.jit, static_argnums=(0, 5, 6))
+    def _embed_gather_many(self, variables, session_wavs, chans, starts,
+                           blen, inner_bs, lengths_samples):
+        """All of one bucket's windows in ONE dispatch: lax.map over
+        inner_bs-sized chunks of the gather+embed program. Over a
+        latency-bound host link, per-dispatch overhead dominated the
+        embedding stage; this folds the chunk loop into the program."""
+        M = chans.shape[0]
+        n_chunks = M // inner_bs
+
+        def one_chunk(args):
+            ch, s0, ln = args
+            return self._embed_body(variables, session_wavs, ch, s0, blen,
+                                    ln)
+
+        embs = jax.lax.map(one_chunk, (
+            chans.reshape(n_chunks, inner_bs),
+            starts.reshape(n_chunks, inner_bs),
+            lengths_samples.reshape(n_chunks, inner_bs)))
+        return embs.reshape(M, -1)
+
+    def _embed_body(self, variables, session_wavs, chans, starts, blen,
+                    lengths_samples):
         """Gather [B, blen] windows out of on-device session audio, embed.
 
         session_wavs: [C, L + blen] (zero right-padded by blen so a slice
@@ -274,16 +294,22 @@ class SpeakerEncoder:
 
     def embed_windows(self, session_wavs, chans: np.ndarray,
                       starts: np.ndarray, blen: int,
-                      lengths: np.ndarray) -> np.ndarray:
-        """Embed windows sliced ON DEVICE from session audio.
+                      lengths: np.ndarray, inner_bs: int = 256):
+        """Embed windows sliced ON DEVICE from session audio — ONE
+        dispatch for the whole call, chunked internally (lax.map).
 
         The host-assembly path (`embed`) ships every window's samples to
         the device — for multi-scale diarization that is ~250x the session
         audio itself (6 scales x overlapping 0.5-3 s windows per word), a
         ~GB-scale transfer per hour of audio. Here the session is
         transferred once and windows are gathered with dynamic_slice.
-        session_wavs must be [C, L + blen]-padded (see prepare_session)."""
-        return np.asarray(self._embed_gather(
+        session_wavs must be [C, L + blen]-padded. chans/starts/lengths
+        must have a length that is a multiple of inner_bs (callers pad
+        with dummy rows). Returns a DEVICE array [len(chans), emb_dim] —
+        the affinity/clustering chain consumes it without a host round
+        trip."""
+        assert len(chans) % inner_bs == 0
+        return self._embed_gather_many(
             self.variables, session_wavs, jnp.asarray(chans, jnp.int32),
-            jnp.asarray(starts, jnp.int32), int(blen),
-            jnp.asarray(lengths, jnp.int32)))
+            jnp.asarray(starts, jnp.int32), int(blen), int(inner_bs),
+            jnp.asarray(lengths, jnp.int32))

@@ -63,7 +63,7 @@ def pit_loss(preds: jnp.ndarray, targets: jnp.ndarray, base: str = "mse"
     base_loss = BASE_LOSSES[base]
     lm = pairwise_loss_matrix(preds, targets, base_loss)  # [B, S, S]
     S = lm.shape[-1]
-    perms = jnp.asarray(_permutations(S))  # [P, S]
+    perms = _permutations(S)  # [P, S] (np: constant-folded host-side)
     # total[b, p] = mean_s lm[b, s, perms[p, s]]
     gathered = jnp.take_along_axis(
         lm[:, None, :, :].repeat(perms.shape[0], axis=1),  # [B, P, S, S]
@@ -71,7 +71,7 @@ def pit_loss(preds: jnp.ndarray, targets: jnp.ndarray, base: str = "mse"
     totals = gathered.mean(axis=-1)  # [B, P]
     best = jnp.argmin(totals, axis=-1)  # [B]
     loss = jnp.take_along_axis(totals, best[:, None], axis=1)[:, 0]
-    perm = perms[best]  # [B, S]
+    perm = jnp.asarray(perms)[best]  # [B, S]
     return loss, perm
 
 

@@ -98,8 +98,12 @@ class STFT:
         self.window = window
         Kr, Ki = make_stft_kernels(frame_len, frame_hop, window, normalize,
                                    round_pow_of_two)
-        self.Kr = jnp.asarray(Kr)  # [F, frame_len]
-        self.Ki = jnp.asarray(Ki)
+        # kept as NUMPY: device-array constants captured in a jit are
+        # DOWNLOADED during lowering (mlir constant handler) — a host
+        # round trip per compile that can wedge a narrow device tunnel;
+        # np constants serialize straight from host memory
+        self.Kr = Kr  # [F, frame_len]
+        self.Ki = Ki
         self.num_bins = Kr.shape[0]
 
     @partial(jax.jit, static_argnums=0)

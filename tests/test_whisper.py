@@ -435,3 +435,30 @@ def test_transcribe_batched_prompts_matches_serial(hf_pair):
         for sa, sb in zip(ra["segments"], rb["segments"]):
             assert sa["tokens"] == sb["tokens"]
             assert abs(sa["start"] - sb["start"]) < 1e-6
+
+
+def test_dtw_device_matches_host():
+    """Device DTW (min-plus associative scan + scanned traceback) must
+    reproduce the host DP's first-visit frame per token row. f32 vs
+    float64 can flip razor ties, so allow rare one-frame differences."""
+    import jax.numpy as jnp
+    from notsofar_tpu.asr.decoding import _dtw_token_starts, dtw_path
+    rng = np.random.RandomState(4)
+    B, T, F = 5, 24, 90
+    neg = rng.randn(B, T, F).astype(np.float32)
+    n_rows = np.asarray([24, 17, 1, 24, 9], np.int32)
+    n_cols = np.asarray([90, 33, 90, 2, 50], np.int32)
+    ts = np.asarray(_dtw_token_starts(jnp.asarray(neg),
+                                      jnp.asarray(n_rows),
+                                      jnp.asarray(n_cols)))
+    total = mismatches = 0
+    for b in range(B):
+        ti, tj = dtw_path(neg[b, :n_rows[b], :n_cols[b]])
+        first = {}
+        for a, c in zip(ti, tj):
+            first.setdefault(int(a), int(c))
+        for i in range(int(n_rows[b])):
+            total += 1
+            if int(ts[b, i]) != first[i]:
+                mismatches += 1
+    assert mismatches <= max(1, total // 50), (mismatches, total)
