@@ -105,7 +105,8 @@ def main():
                                              WhisperTranscriber)
     from notsofar_tpu.css.engine import CssCfg, CssEngine
     from notsofar_tpu.diarization.common import DiarizationCfg
-    from notsofar_tpu.diarization.word_based import word_based_clustering
+    from notsofar_tpu.diarization.word_based import (
+        word_based_clustering_batch)
     from notsofar_tpu.models.css_wrapper import (ConformerCssConfig, CssModel,
                                                  NnetConfig,
                                                  large_conformer_config)
@@ -131,7 +132,12 @@ def main():
     # ---- ASR (large-v3 dims, bf16, lockstep batch) -----------------------
     dims = WHISPER_DIMS[args.asr_model]
     wmodel = WhisperModel(dims, dtype=jnp.bfloat16)
-    wvars = wmodel.init(jax.random.PRNGKey(1))
+    # bf16 weights: same serving configuration real checkpoints load into
+    # (f32 large-v3 params alone are ~6 GB of HBM)
+    wvars = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        wmodel.init(jax.random.PRNGKey(1)))
     tok = load_tokenizer(args.asr_model, dims.n_vocab)
     common = dict(
         word_timestamps=True,
@@ -220,7 +226,7 @@ def main():
         # sanity-checked — its DTW cost was paid in the ASR stage above.
         assert all("segments" in r for r in results)
         words_per_sec = 2.4
-        labels = []
+        sessions = []
         for si in range(B):
             wav_files = []
             rows = []
@@ -245,15 +251,14 @@ def main():
             df["wav_file_name_ind"] = df["wav_file_name"].cat.codes
             sess_dev = (wav_dev[si, :, :n_reals[si]].astype(jnp.float32)
                         * inv[si][:, None])
-            out = word_based_clustering(wav_files, df, diar_cfg,
-                                        encoder=encoder,
-                                        session_wavs=sess_dev, sr=fs)
-            labels.append(out)
+            sessions.append(dict(wav_files=wav_files, segments_df=df,
+                                 session_wavs=sess_dev, sr=fs))
+        # one shared embedding pass for ALL sessions (diar batch API)
+        labels = word_based_clustering_batch(sessions, diar_cfg,
+                                             encoder=encoder)
         from notsofar_tpu.diarization import clustering as _cl
-        dph = {k: round(v, 2) for k, v in
-               word_based_clustering.last_phase_timer.stage_seconds.items()}
-        print(f"{tag}: diar last-session phases {dph} "
-              f"clustering={_cl.LAST_TIMINGS}", file=sys.stderr, flush=True)
+        print(f"{tag}: diar clustering={_cl.LAST_TIMINGS}",
+              file=sys.stderr, flush=True)
         stage_t["diar"] = time.time() - t0
 
         wall = sum(stage_t.values())

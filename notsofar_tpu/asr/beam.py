@@ -146,27 +146,45 @@ class BeamDecoder(GreedyDecoder):
             return (st["step"] < max_new) & ~jnp.all(st["finished"])
 
         final = jax.lax.while_loop(cond_fn, step_fn, init)
-        return (final["tokens"].reshape(B, K, max_new),
-                final["sum_lp"].reshape(B, K),
-                final["length"].reshape(B, K), nsp)
+        # pack float outputs into one buffer (one host read = one tunnel
+        # round trip): [B, 2K+1] = sum_lp || length || no_speech
+        stats = jnp.concatenate(
+            [final["sum_lp"].reshape(B, K),
+             final["length"].reshape(B, K).astype(jnp.float32),
+             nsp[:, None]], axis=1)
+        return final["tokens"].reshape(B, K, max_new), stats
 
     # ------------------------------------------------------------------
     def decode(self, variables, xa: jnp.ndarray,
                prompt: Optional[Sequence[int]] = None) -> Dict:
         tok = self.tok
+        B = xa.shape[0]
+        cap = max(self.opt.max_rows_per_dispatch // self.beam_size, 1)
+        if B > cap:
+            # HBM: the per-(batch*beam)-row cross-KV cache bounds how many
+            # rows one dispatch can hold (see DecodeOptions)
+            outs = [self.decode(variables, xa[c0:c0 + cap], prompt)
+                    for c0 in range(0, B, cap)]
+            return dict(
+                tokens=[t for o in outs for t in o["tokens"]],
+                avg_logprob=np.concatenate(
+                    [o["avg_logprob"] for o in outs]),
+                no_speech_prob=np.concatenate(
+                    [o["no_speech_prob"] for o in outs]))
         prefix = list(prompt) if prompt else []
         if prefix:
             prefix = [tok.specials.sot_prev] + \
                 prefix[-(self.model.dims.n_text_ctx // 2 - 1):]
         initial = prefix + tok.sot_sequence
-        B = xa.shape[0]
         prompt_tokens = jnp.asarray(
             np.tile(np.asarray(initial, np.int32), (B, 1)))
-        tokens, sum_lp, length, nsp = self._beam_scan(
+        tokens, stats = self._beam_scan(
             variables, xa, len(initial), prompt_tokens)
-        tokens = np.asarray(tokens)
-        sum_lp = np.asarray(sum_lp)
-        length = np.asarray(length)
+        return self._unpack_beam(np.asarray(tokens), np.asarray(stats))
+
+    def _unpack_beam(self, tokens: np.ndarray, stats: np.ndarray) -> Dict:
+        B, K = tokens.shape[:2]
+        sum_lp, length, nsp = stats[:, :K], stats[:, K:2 * K], stats[:, -1]
         # length-normalized ranking (whisper's MaximumLikelihoodRanker)
         avg = sum_lp / np.maximum(length + 1, 1)
         best = avg.argmax(axis=1)
@@ -178,7 +196,7 @@ class BeamDecoder(GreedyDecoder):
             out_tokens.append(t[:end].tolist())
         return dict(tokens=out_tokens,
                     avg_logprob=avg[np.arange(B), best],
-                    no_speech_prob=np.asarray(nsp))
+                    no_speech_prob=nsp)
 
     def decode_prompted(self, variables, xa: jnp.ndarray,
                         prompts: Sequence[Optional[Sequence[int]]],
@@ -188,22 +206,20 @@ class BeamDecoder(GreedyDecoder):
         interface parity; the beam path is deterministic (the fallback
         ladder samples through the greedy sampler, as in whisper)."""
         assert temperature == 0.0, "beam search is the t=0 rung"
-        toks, pads, P_pad = self._pack_prompts(prompts)
         B = xa.shape[0]
-        tokens, sum_lp, length, nsp = self._beam_scan(
+        cap = max(self.opt.max_rows_per_dispatch // self.beam_size, 1)
+        if B > cap:
+            outs = [self.decode_prompted(variables, xa[c0:c0 + cap],
+                                         list(prompts)[c0:c0 + cap])
+                    for c0 in range(0, B, cap)]
+            return dict(
+                tokens=[t for o in outs for t in o["tokens"]],
+                avg_logprob=np.concatenate(
+                    [o["avg_logprob"] for o in outs]),
+                no_speech_prob=np.concatenate(
+                    [o["no_speech_prob"] for o in outs]))
+        toks, pads, P_pad = self._pack_prompts(prompts)
+        tokens, stats = self._beam_scan(
             variables, xa, P_pad, jnp.asarray(toks),
             pad_lens=jnp.asarray(pads))
-        tokens = np.asarray(tokens)
-        sum_lp = np.asarray(sum_lp)
-        length = np.asarray(length)
-        avg = sum_lp / np.maximum(length + 1, 1)
-        best = avg.argmax(axis=1)
-        out_tokens: List[List[int]] = []
-        for b in range(B):
-            t = tokens[b, best[b]]
-            end = int(np.argmax(t == self._eot)) if (t == self._eot).any() \
-                else len(t)
-            out_tokens.append(t[:end].tolist())
-        return dict(tokens=out_tokens,
-                    avg_logprob=avg[np.arange(B), best],
-                    no_speech_prob=np.asarray(nsp))
+        return self._unpack_beam(np.asarray(tokens), np.asarray(stats))

@@ -76,6 +76,10 @@ class DecodeOptions:
     suppress_blank: bool = True
     suppress_non_speech: bool = True
     temperature: float = 0.0  # >0 -> gumbel sampling (fallback ladder)
+    # rows per decode dispatch (beam paths count batch*K): the per-row
+    # cross-attention K/V cache is ~0.5 GB on large-v3, so oversized
+    # batches spill HBM and run SLOWER than two right-sized dispatches
+    max_rows_per_dispatch: int = 12
 
 
 class GreedyDecoder:
@@ -263,7 +267,11 @@ class GreedyDecoder:
                 jnp.zeros(B, bool))
         carry = jax.lax.while_loop(cond_fn, step_fn, init)
         tokens_buf, sum_lp, length = carry[1], carry[8], carry[9]
-        return tokens_buf, sum_lp, length, no_speech_prob
+        # pack the float outputs into ONE buffer: each host read of a
+        # separate device array is a full round trip on the tunnel
+        stats = jnp.stack([sum_lp, length.astype(jnp.float32),
+                           no_speech_prob], axis=1)       # [B, 3]
+        return tokens_buf, stats
 
     # ------------------------------------------------------------------
     def decode(self, variables, xa: jnp.ndarray,
@@ -282,24 +290,38 @@ class GreedyDecoder:
             prefix = [tok.specials.sot_prev] + prefix[-(self.model.dims.n_text_ctx // 2 - 1):]
         initial = prefix + tok.sot_sequence
         B = xa.shape[0]
-        prompt_tokens = jnp.asarray(
-            np.tile(np.asarray(initial, np.int32), (B, 1)))
         if temperature > 0 and rng is None:
             rng = jax.random.PRNGKey(0)
-        tokens, sum_lp, length, nsp = self._decode_scan(
-            variables, xa, len(initial), prompt_tokens, rng,
-            float(temperature))
-        tokens = np.asarray(tokens)
-        sum_lp = np.asarray(sum_lp)
-        length = np.asarray(length)
+        cap = max(self.opt.max_rows_per_dispatch, 1)
+        outs = []
+        for c0 in range(0, B, cap):
+            xa_c = xa[c0:c0 + cap]
+            n = xa_c.shape[0]
+            if B > cap and n < cap:     # pad the tail chunk to the
+                # dispatch shape (one compile per cap, not per remainder)
+                xa_c = jnp.concatenate(
+                    [xa_c, jnp.repeat(xa_c[:1], cap - n, axis=0)])
+            prompt_tokens = jnp.asarray(
+                np.tile(np.asarray(initial, np.int32),
+                        (xa_c.shape[0], 1)))
+            t, s = self._decode_scan(
+                variables, xa_c, len(initial), prompt_tokens, rng,
+                float(temperature))
+            outs.append((np.asarray(t)[:n], np.asarray(s)[:n]))
+        tokens = np.concatenate([t for t, _ in outs])
+        stats = np.concatenate([s for _, s in outs])
+        return self._unpack_decode(tokens, stats)
+
+    def _unpack_decode(self, tokens: np.ndarray, stats: np.ndarray) -> Dict:
+        sum_lp, length, nsp = stats[:, 0], stats[:, 1], stats[:, 2]
         avg_lp = sum_lp / np.maximum(length + 1, 1)
         out_tokens = []
-        for b in range(B):
+        for b in range(tokens.shape[0]):
             t = tokens[b]
             end = np.argmax(t == self._eot) if (t == self._eot).any() else len(t)
             out_tokens.append(t[:end].tolist())
         return dict(tokens=out_tokens, avg_logprob=avg_lp,
-                    no_speech_prob=np.asarray(nsp))
+                    no_speech_prob=nsp)
 
     def _pack_prompts(self, prompts: Sequence[Optional[Sequence[int]]]
                       ) -> Tuple[np.ndarray, np.ndarray, int]:
@@ -330,32 +352,42 @@ class GreedyDecoder:
         (condition_on_previous_text across streams): prompts are
         right-aligned in a power-of-two bucket with masked left-pad, so
         the whole batch runs as one scan — the reference semantics without
-        the per-stream serial decode chains.
+        the per-stream serial decode chains. Batches larger than
+        max_rows_per_dispatch split into chunks (HBM: ~0.5 GB cross-KV
+        per row on large models).
 
         Same contract as decode(); bit-identical to per-row decode() at
         temperature 0 (tested). rngs: optional per-row PRNG keys — row b
         samples exactly as a B=1 decode with rngs[b], preserving the
         per-(stream, seek) sampling-salt contract across batch
         compositions (tested); rng: one key for the whole batch."""
-        toks, pads, P_pad = self._pack_prompts(prompts)
         B = xa.shape[0]
+        cap = max(self.opt.max_rows_per_dispatch, 1)
+        if B > cap:
+            outs = []
+            for c0 in range(0, B, cap):
+                sub_rngs = list(rngs)[c0:c0 + cap] if rngs is not None \
+                    else None
+                outs.append(self.decode_prompted(
+                    variables, xa[c0:c0 + cap],
+                    list(prompts)[c0:c0 + cap], temperature, rng,
+                    sub_rngs))
+            return dict(
+                tokens=[t for o in outs for t in o["tokens"]],
+                avg_logprob=np.concatenate(
+                    [o["avg_logprob"] for o in outs]),
+                no_speech_prob=np.concatenate(
+                    [o["no_speech_prob"] for o in outs]))
+        toks, pads, P_pad = self._pack_prompts(prompts)
         assert toks.shape[0] == B
         row_rngs = jnp.stack(list(rngs)) if rngs is not None else None
         if temperature > 0 and rng is None and row_rngs is None:
             rng = jax.random.PRNGKey(0)
-        tokens, sum_lp, length, nsp = self._decode_scan(
+        tokens, stats = self._decode_scan(
             variables, xa, P_pad, jnp.asarray(toks), rng,
             float(temperature), pad_lens=jnp.asarray(pads),
             row_rngs=row_rngs)
-        tokens = np.asarray(tokens)
-        avg_lp = np.asarray(sum_lp) / np.maximum(np.asarray(length) + 1, 1)
-        out_tokens = []
-        for b in range(B):
-            t = tokens[b]
-            end = np.argmax(t == self._eot) if (t == self._eot).any() else len(t)
-            out_tokens.append(t[:end].tolist())
-        return dict(tokens=out_tokens, avg_logprob=avg_lp,
-                    no_speech_prob=np.asarray(nsp))
+        return self._unpack_decode(np.asarray(tokens), np.asarray(stats))
 
 
 # --------------------------------------------------------------------------
@@ -544,6 +576,25 @@ def merge_punctuations(words: List[Dict],
 
 _TF_JIT_CACHE: dict = {}
 
+
+def _median7_network(w: list):
+    """Median of 7 same-shaped arrays by odd-even transposition (7 passes
+    of pairwise min/max, then the middle lane). A general sort lowers to
+    an expensive bitonic network on the VPU; this is a fixed 21-exchange
+    network — exhaustively verified over all 5040 permutations."""
+    w = list(w)
+
+    def cas(i, j):
+        lo = jnp.minimum(w[i], w[j])
+        hi = jnp.maximum(w[i], w[j])
+        w[i], w[j] = lo, hi
+
+    for p in range(7):
+        for i in (0, 2, 4) if p % 2 == 0 else (1, 3, 5):
+            cas(i, i + 1)
+    return w[3]
+
+
 _DTW_BIG = 1.0e30
 
 
@@ -651,9 +702,8 @@ def _alignment_jit(model, heads_key, eot: int, sot_len: int):
         def median7(x):  # [..., F] -> width-7 median along F, edge padded
             pad = [(0, 0)] * (x.ndim - 1) + [(3, 3)]
             xp = jnp.pad(x, pad, mode="edge")
-            win = jnp.stack([xp[..., k:k + x.shape[-1]] for k in range(7)],
-                            0)
-            return jnp.median(win, axis=0)
+            win = [xp[..., k:k + x.shape[-1]] for k in range(7)]
+            return _median7_network(win)
 
         def znorm_median(w, n_real):
             # w: [B, H, T, F]; z-norm per (head, frame) over real token

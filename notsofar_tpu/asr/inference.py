@@ -45,6 +45,10 @@ class WhisperAsrCfg:
     hallucination_silence_threshold: Optional[float] = 2.0
     vocab_path: Optional[str] = None
     max_new_tokens: int = 224  # decode-step budget per 30 s window
+    # TPU extension: matmul + weight dtype ('bfloat16' mirrors the
+    # fp16=True GPU default the reference inherits from openai-whisper;
+    # 'float32' for strict-parity runs)
+    compute_dtype: str = "bfloat16"
     # TPU extension (no reference counterpart): cross-session stream
     # batching width for asr_batch_prepass. The per-session path batches a
     # session's ~3 CSS streams; the prepass concatenates streams across
@@ -86,12 +90,19 @@ def _load_alignment_heads(ckpt: Path, dims) -> Optional[list]:
 
 def load_whisper_model(model_name: str, models_dir: Optional[str] = None,
                        vocab_path: Optional[str] = None,
-                       language: str = "en"
+                       language: str = "en",
+                       compute_dtype: str = "bfloat16"
                        ) -> Tuple[WhisperModel, dict, WhisperTokenizer,
                                   Optional[list]]:
     """Load (model, variables, tokenizer, alignment_heads); cached per
-    model name."""
-    key = f"{models_dir}/{model_name}"
+    model name.
+
+    compute_dtype 'bfloat16' (default) runs matmuls AND stores weights in
+    bf16 — the TPU analogue of the fp16=True default the reference
+    inherits from openai-whisper on GPU (asr/asr.py:74); f32 weights for
+    large-v3 alone are ~6 GB of HBM and 4x slower on the v5e MXU. Pass
+    'float32' for strict-parity runs."""
+    key = f"{models_dir}/{model_name}/{compute_dtype}"
     if key in _MODEL_CACHE:
         return _MODEL_CACHE[key]
     ckpt = None
@@ -101,11 +112,13 @@ def load_whisper_model(model_name: str, models_dir: Optional[str] = None,
             if cand.exists():
                 ckpt = cand
                 break
+    import jax.numpy as jnp
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
     alignment_heads = None
     if ckpt is not None:
         _LOG.info(f"Loading Whisper checkpoint: {ckpt}")
         variables, dims = load_openai_whisper_checkpoint(ckpt)
-        model = WhisperModel(dims)
+        model = WhisperModel(dims, dtype=dtype)
         variables = jax.tree_util.tree_map(np.asarray, variables)
         alignment_heads = _load_alignment_heads(ckpt, dims)
     else:
@@ -114,8 +127,13 @@ def load_whisper_model(model_name: str, models_dir: Optional[str] = None,
             f"No Whisper checkpoint found for '{model_name}' under "
             f"{models_dir} — using RANDOM weights (pipeline smoke mode; "
             "transcripts are meaningless)")
-        model = WhisperModel(dims)
+        model = WhisperModel(dims, dtype=dtype)
         variables = model.init(jax.random.PRNGKey(0))
+    if dtype == jnp.bfloat16:
+        variables = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == np.float32 else x,
+            variables)
     tokenizer = load_tokenizer(model_name, dims.n_vocab,
                                vocab_path=vocab_path, language=language)
     _MODEL_CACHE[key] = (model, variables, tokenizer, alignment_heads)
@@ -132,7 +150,7 @@ def _make_transcriber(cfg: WhisperAsrCfg,
                       models_dir: Optional[str]) -> "WhisperTranscriber":
     model, variables, tokenizer, alignment_heads = load_whisper_model(
         cfg.model_name, models_dir, cfg.vocab_path,
-        language=cfg.language or "en")
+        language=cfg.language or "en", compute_dtype=cfg.compute_dtype)
     return WhisperTranscriber(
         model, variables, tokenizer,
         TranscribeOptions(

@@ -104,6 +104,9 @@ class NmescResult:
     num_speakers: int
     p_hat: int
     g_p: float
+    # None = unknown (host path computes connectivity lazily); the device
+    # stats program returns it for every candidate in the same dispatch
+    connected: Optional[bool] = None
 
 
 def _accelerator_available() -> bool:
@@ -148,8 +151,15 @@ def _eval_candidates(affinity: np.ndarray, candidates: np.ndarray,
     if not _accelerator_available() or N < 64:
         return [eval_host(p) for p in candidates]
 
-    lam_small, lam_max = _candidate_eigs_device(affinity, candidates,
-                                                max_num_speakers)
+    packed_dev, P, upper = _candidate_eigs_device(affinity, candidates,
+                                                  max_num_speakers)
+    packed = np.asarray(packed_dev, np.float64)
+    return _results_from_stats(packed, P, upper, candidates, N)
+
+
+def _results_from_stats(packed: np.ndarray, P: int, upper: int,
+                        candidates: np.ndarray, N: int):
+    lam_small, lam_max, conn = _unpack_candidate_stats(packed, P, upper)
     out = []
     for ci, p in enumerate(candidates):
         lambdas = np.maximum(lam_small[ci], 0.0)
@@ -159,7 +169,8 @@ def _eval_candidates(affinity: np.ndarray, candidates: np.ndarray,
         max_gap = gaps.max() if len(gaps) else 0.0
         nme = max_gap / lmax
         g_p = (p / N) / (nme + 1e-10)
-        out.append(NmescResult(num_spk, int(p), float(g_p)))
+        out.append(NmescResult(num_spk, int(p), float(g_p),
+                               connected=bool(conn[ci])))
     return out
 
 
@@ -170,7 +181,54 @@ _PAD_DIAG = 1.0e6       # pad-node Laplacian diagonal for the dense-eigh
 _LOBPCG_GUARD = 3       # extra Ritz vectors: the edge eigenvalue of the
 #   requested block converges worst, so solve k+guard and keep k
 _LOBPCG_ITERS = 60
+_SUBSPACE_ITERS = 150
 _POWER_ITERS = 80
+
+
+def _filtered_smallest(lap, alpha, x0, inner: int = 16, outer: int = 40):
+    """Smallest eigenpairs of a PSD Laplacian via polynomial-filtered
+    subspace iteration, batched over leading axes.
+
+    lap [..., N, N]; alpha [...] spectral upper bound (Gershgorin);
+    x0 [N, k] shared start with invalid rows pre-zeroed. The filter
+    B = I - L/alpha maps the wanted near-zero eigenvalues to ~1 and the
+    rest below; `inner` B-applications between Cholesky
+    orthonormalizations amplify the wanted subspace by
+    ((1-lam_small/a)/(1-lam_rest/a))^(inner*outer) — hundreds of pure
+    matmuls — and ONE small Rayleigh-Ritz eigh at the end resolves the
+    clustered eigenvalues exactly within the filtered subspace. Direct
+    subspace iteration on the complement cannot separate a cluster at
+    ~alpha (relative gaps ~gap/alpha), and LOBPCG resolves it only by
+    paying a small-eigh + orthogonalization EVERY iteration — both lower
+    to expensive QDWH/QR kernels on TPU.
+
+    Returns (w [..., k] ascending Ritz values of lap, U [..., N, k])."""
+    import jax
+    import jax.numpy as jnp
+
+    batch = lap.shape[:-2]
+    N, k = x0.shape
+    a = alpha.reshape(batch + (1, 1)) if batch else alpha
+    eyeN = jnp.eye(N, dtype=lap.dtype)
+    Bm = eyeN - lap / a
+    Y0 = jnp.broadcast_to(x0, batch + (N, k))
+    eps = 1e-6
+
+    def ostep(Y, _):
+        def istep(Y, _):
+            return Bm @ Y, None
+        Y, _ = jax.lax.scan(istep, Y, None, length=inner)
+        G = jnp.swapaxes(Y, -1, -2) @ Y
+        G = G + eps * jnp.eye(k, dtype=Y.dtype)
+        Lc = jnp.linalg.cholesky(G)
+        Y = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
+            Lc, jnp.swapaxes(Y, -1, -2), lower=True), -1, -2)
+        return Y, None
+
+    Y, _ = jax.lax.scan(ostep, Y0, None, length=outer)
+    H = jnp.swapaxes(Y, -1, -2) @ (lap @ Y)
+    w, V = jnp.linalg.eigh(H)           # ascending
+    return w, Y @ V
 
 
 def _candidate_eigs_device(affinity: np.ndarray, candidates: np.ndarray,
@@ -201,7 +259,6 @@ def _candidate_eigs_device(affinity: np.ndarray, candidates: np.ndarray,
     volume) so the jit cache stays small across sessions."""
     import jax
     import jax.numpy as jnp
-    from jax.experimental.sparse.linalg import lobpcg_standard
 
     N = affinity.shape[0]
     upper = min(max_num_speakers + 1, N)
@@ -228,15 +285,10 @@ def _candidate_eigs_device(affinity: np.ndarray, candidates: np.ndarray,
             diag = jnp.where(real[None], deg, alpha[:, None])
             eye = jnp.eye(N_pad, dtype=aff.dtype)
             lap = -sym + eye[None] * diag[:, :, None]
-            comp = alpha[:, None, None] * eye[None] - lap
 
             x0 = jnp.asarray(x0_np) * realf[:, None]
-
-            def small(a):
-                theta, _, _ = lobpcg_standard(a, x0, m=_LOBPCG_ITERS)
-                return theta
-            theta = jax.vmap(small)(comp)               # [P, k_solve] desc-ish
-            lam_small = jnp.sort(alpha[:, None] - theta, axis=1)[:, :upper]
+            w_small, _ = _filtered_smallest(lap, alpha, x0)  # [P, k] asc
+            lam_small = w_small[:, :upper]
 
             v = jnp.broadcast_to(x0[:, 0] * realf, (P_pad, N_pad))
 
@@ -248,7 +300,23 @@ def _candidate_eigs_device(affinity: np.ndarray, candidates: np.ndarray,
             v, _ = jax.lax.scan(piter, v, None, length=_POWER_ITERS)
             lv = jnp.einsum("pij,pj->pi", lap, v)
             lam_max = jnp.einsum("pi,pi->p", v, lv)
-            return lam_small, lam_max
+
+            # per-candidate connectivity (NeMo getMinimumConnection
+            # precheck) in the SAME dispatch, via log-depth reachability:
+            # square (A+I) ceil(log2 N) times — frontier expansion by
+            # matvec needs diameter-many iterations, and near-disconnected
+            # small-p graphs have diameters in the hundreds
+            adj = jnp.clip((sym > 0).astype(jnp.bfloat16)
+                           + jnp.eye(N_pad, dtype=jnp.bfloat16)[None],
+                           0.0, 1.0)                     # [P, N, N]
+
+            def square(m, _):
+                return jnp.clip(m @ m, 0.0, 1.0), None
+
+            steps = max(int(np.ceil(np.log2(max(N_pad, 2)))), 1)
+            reach, _ = jax.lax.scan(square, adj, None, length=steps)
+            connected = jnp.all((reach[:, 0] > 0) | (~real)[None], axis=1)
+            return lam_small, lam_max, connected
         fn = jax.jit(run)
         _EIG_JIT_CACHE[key] = fn
 
@@ -261,10 +329,19 @@ def _candidate_eigs_device(affinity: np.ndarray, candidates: np.ndarray,
                           ((0, N_pad - N), (0, N_pad - N)))
     cand_pad = np.concatenate(
         [candidates, np.full(P_pad - P, candidates[-1])]).astype(np.int32)
-    lam_small, lam_max = fn(aff_dev, jnp.asarray(cand_pad),
-                            jnp.asarray(N, jnp.int32))
-    return (np.asarray(lam_small, np.float64)[:P],
-            np.asarray(lam_max, np.float64)[:P])
+    lam_small, lam_max, conn = fn(aff_dev, jnp.asarray(cand_pad),
+                                  jnp.asarray(N, jnp.int32))
+    # pack into ONE buffer (a host read is a full tunnel round trip);
+    # returned ASYNC — callers batch many sessions' downloads together
+    packed_dev = jnp.concatenate(
+        [lam_small, lam_max[:, None], conn[:, None].astype(jnp.float32)],
+        axis=1)
+    return packed_dev, P, upper
+
+
+def _unpack_candidate_stats(packed: np.ndarray, P: int, upper: int):
+    return (packed[:P, :upper], packed[:P, upper],
+            packed[:P, upper + 1] > 0.5)
 
 
 def is_graph_fully_connected(aff_bin: np.ndarray) -> bool:
@@ -313,7 +390,9 @@ def nmesc(affinity: np.ndarray, max_num_speakers: int = 8,
     # so small-N inputs (where max_rp_threshold*N is just 2-3 neighbors)
     # also recover. The common (connected) case is checked on device for
     # resident affinities; the rare repair loop downloads once.
-    if _is_device_array(affinity) and _accelerator_available():
+    if best.connected is not None:
+        connected = best.connected      # came with the stats dispatch
+    elif _is_device_array(affinity) and _accelerator_available():
         connected = _connected_device(_binarize_device(affinity,
                                                        best.p_hat))
     else:
@@ -436,6 +515,58 @@ def spectral_clustering(aff: np.ndarray, n_clusters: int, seed: int = 0
 _KM_JIT_CACHE: dict = {}
 
 
+def _kmeans_core(x, n_real, key, k: int, n_init: int = 10,
+                 n_iter: int = 300):
+    """Traceable k-means++ with restarts (see _kmeans_device): x [N_pad, D]
+    with rows >= n_real zero/invalid; returns labels [N_pad]. Shared by
+    the standalone kmeans jit and the fused final-clustering program."""
+    import jax
+    import jax.numpy as jnp
+
+    N_pad, D = x.shape
+    valid = jnp.arange(N_pad) < n_real
+
+    def one_init(key):
+        k1, key = jax.random.split(key)
+        i0 = jax.random.randint(k1, (), 0, n_real)
+        centers = jnp.zeros((k, D), x.dtype).at[0].set(x[i0])
+        d2 = jnp.where(valid, ((x - centers[0]) ** 2).sum(-1), 0.0)
+        for j in range(1, k):
+            kj, key = jax.random.split(key)
+            probs = d2 / jnp.maximum(d2.sum(), 1e-12)
+            idx = jax.random.choice(kj, N_pad, p=probs)
+            centers = centers.at[j].set(x[idx])
+            d2 = jnp.minimum(
+                d2, jnp.where(valid, ((x - centers[j]) ** 2).sum(-1), 0.0))
+
+        def lloyd(carry, _):
+            c, done = carry
+            dist = ((x[:, None, :] - c[None]) ** 2).sum(-1)  # [N, k]
+            lab = dist.argmin(1)
+            oh = jax.nn.one_hot(lab, k, dtype=x.dtype) \
+                * valid[:, None].astype(x.dtype)
+            cnt = oh.sum(0)
+            newc = (oh.T @ x) / jnp.maximum(cnt[:, None], 1.0)
+            newc = jnp.where(cnt[:, None] > 0, newc, c)
+            newc = jnp.where(done, c, newc)
+            done = done | jnp.all(jnp.abs(newc - c)
+                                  <= 1e-8 + 1e-5 * jnp.abs(c))
+            return (newc, done), None
+
+        (c, _), _ = jax.lax.scan(lloyd, (centers, jnp.asarray(False)),
+                                 None, length=n_iter)
+        dist = ((x[:, None, :] - c[None]) ** 2).sum(-1)
+        lab = dist.argmin(1)
+        inertia = jnp.where(
+            valid, jnp.take_along_axis(dist, lab[:, None], 1)[:, 0],
+            0.0).sum()
+        return lab, inertia
+
+    keys = jax.random.split(key, n_init)
+    labs, inertias = jax.vmap(one_init)(keys)
+    return labs[jnp.argmin(inertias)]
+
+
 def _kmeans_device(x_np: np.ndarray, k: int, seed: int = 0,
                    n_init: int = 10, n_iter: int = 300) -> np.ndarray:
     """k-means++ with restarts as ONE device program (vmapped over inits).
@@ -455,50 +586,8 @@ def _kmeans_device(x_np: np.ndarray, k: int, seed: int = 0,
     key_shape = (N_pad, D, k, n_init, n_iter)
     fn = _KM_JIT_CACHE.get(key_shape)
     if fn is None:
-        def one_init(x, valid, n_real, key):
-            k1, key = jax.random.split(key)
-            i0 = jax.random.randint(k1, (), 0, n_real)
-            centers = jnp.zeros((k, D), x.dtype).at[0].set(x[i0])
-            d2 = jnp.where(valid, ((x - centers[0]) ** 2).sum(-1), 0.0)
-            for j in range(1, k):
-                kj, key = jax.random.split(key)
-                probs = d2 / jnp.maximum(d2.sum(), 1e-12)
-                idx = jax.random.choice(kj, N_pad, p=probs)
-                centers = centers.at[j].set(x[idx])
-                d2 = jnp.minimum(
-                    d2, jnp.where(valid, ((x - centers[j]) ** 2).sum(-1),
-                                  0.0))
-
-            def lloyd(carry, _):
-                c, done = carry
-                dist = ((x[:, None, :] - c[None]) ** 2).sum(-1)  # [N, k]
-                lab = dist.argmin(1)
-                oh = jax.nn.one_hot(lab, k, dtype=x.dtype) \
-                    * valid[:, None].astype(x.dtype)
-                cnt = oh.sum(0)
-                newc = (oh.T @ x) / jnp.maximum(cnt[:, None], 1.0)
-                newc = jnp.where(cnt[:, None] > 0, newc, c)
-                newc = jnp.where(done, c, newc)
-                done = done | jnp.all(jnp.abs(newc - c)
-                                      <= 1e-8 + 1e-5 * jnp.abs(c))
-                return (newc, done), None
-
-            (c, _), _ = jax.lax.scan(lloyd, (centers, jnp.asarray(False)),
-                                     None, length=n_iter)
-            dist = ((x[:, None, :] - c[None]) ** 2).sum(-1)
-            lab = dist.argmin(1)
-            inertia = jnp.where(
-                valid, jnp.take_along_axis(dist, lab[:, None], 1)[:, 0],
-                0.0).sum()
-            return lab, inertia
-
         def run(x, n_real, key):
-            valid = jnp.arange(N_pad) < n_real
-            keys = jax.random.split(key, n_init)
-            labs, inertias = jax.vmap(
-                lambda kk: one_init(x, valid, n_real, kk))(keys)
-            return labs[jnp.argmin(inertias)]
-
+            return _kmeans_core(x, n_real, key, k, n_init, n_iter)
         fn = jax.jit(run)
         _KM_JIT_CACHE[key_shape] = fn
 
@@ -525,7 +614,6 @@ def _laplacian_eigvecs_device(aff, k: int):
     device array (padded there). Returns a DEVICE array [N, k]."""
     import jax
     import jax.numpy as jnp
-    from jax.experimental.sparse.linalg import lobpcg_standard
 
     N = aff.shape[0]
     N_pad = int(np.ceil(N / 256) * 256)
@@ -544,12 +632,9 @@ def _laplacian_eigvecs_device(aff, k: int):
             diag = jnp.where(real, deg - jnp.diagonal(a), alpha)
             eye = jnp.eye(N_pad, dtype=a.dtype)
             lap = jnp.where(eye > 0, 0.0, -a) + eye * diag[:, None]
-            comp = alpha * eye - lap
             x0 = jnp.asarray(x0_np) * realf[:, None]
-            theta, u, _ = lobpcg_standard(comp, x0, m=_LOBPCG_ITERS)
-            # theta descending in the complement = ascending Laplacian
-            order = jnp.argsort(alpha - theta)
-            return u[:, order[:k]]
+            _, u = _filtered_smallest(lap, alpha, x0)   # ascending
+            return u[:, :k]
         fn = jax.jit(run)
         _VEC_JIT_CACHE[key] = fn
     if isinstance(aff, np.ndarray):
@@ -587,14 +672,20 @@ def run_clustering(raw_affinity, max_num_speakers: int = 8,
     res = nmesc(raw_affinity, max_num_speakers, max_rp_threshold,
                 sparse_search_volume)
     t1 = time.time()
+    N = raw_affinity.shape[0]
     if _is_device_array(raw_affinity) and _accelerator_available() \
-            and raw_affinity.shape[0] >= 64:
-        import jax.numpy as jnp
-        aff = _binarize_device(raw_affinity, res.p_hat)
+            and N >= 64:
+        if res.num_speakers <= 1:
+            labels = np.zeros(N, np.int64)
+        else:
+            # binarize + eigenvectors + k-means as ONE dispatch
+            labels = np.asarray(_final_cluster_device(
+                raw_affinity, res.p_hat,
+                res.num_speakers))[:N].astype(np.int64)
     else:
         aff = binarize_top_p(np.asarray(raw_affinity, np.float64),
                              res.p_hat)
-    labels = spectral_clustering(aff, res.num_speakers)
+        labels = spectral_clustering(aff, res.num_speakers)
     LAST_TIMINGS.update(nmesc=round(t1 - t0, 2),
                         spectral=round(time.time() - t1, 2))
     return labels
@@ -607,3 +698,130 @@ def _binarize_device(aff, p: int):
     thr = srt[:, p - 1]
     x = jnp.where(aff >= thr[:, None], aff, 0.0)
     return 0.5 * (x + x.T)
+
+
+_FINAL_JIT_CACHE: dict = {}
+
+
+def _final_cluster_device(aff, p_hat: int, k: int, seed: int = 0):
+    """Binarize + spectral eigenvectors + k-means fused into ONE program:
+    each separate stage paid a full host round trip per session. aff may
+    be a device array. Returns ASYNC device labels [N_pad] — callers
+    slice to N and batch downloads across sessions."""
+    import jax
+    import jax.numpy as jnp
+
+    N = aff.shape[0]
+    N_pad = int(np.ceil(N / 256) * 256)
+    k_solve = min(k + _LOBPCG_GUARD, max(N // 4, k))
+    key_shape = (N_pad, k, k_solve)
+    fn = _FINAL_JIT_CACHE.get(key_shape)
+    if fn is None:
+        x0_np = np.random.RandomState(1).randn(
+            N_pad, k_solve).astype(np.float32)
+
+        def run(a, p, n_real, key):
+            real = jnp.arange(N_pad) < n_real
+            realf = real.astype(a.dtype)
+            srt = jnp.sort(a, axis=1)[:, ::-1]
+            thr = jnp.take_along_axis(
+                srt, jnp.full((N_pad, 1), p - 1), axis=1)[:, 0]
+            x = jnp.where(a >= thr[:, None], a, 0.0)
+            sym = 0.5 * (x + x.T) * (realf[:, None] * realf[None, :])
+            deg = sym.sum(axis=1)
+            alpha = 2.0 * deg.max() + 1e-3
+            diag = jnp.where(real, deg - jnp.diagonal(sym), alpha)
+            eye = jnp.eye(N_pad, dtype=a.dtype)
+            lap = jnp.where(eye > 0, 0.0, -sym) + eye * diag[:, None]
+            x0 = jnp.asarray(x0_np) * realf[:, None]
+            _, u = _filtered_smallest(lap, alpha, x0)   # ascending
+            emb = u[:, :k]
+            return _kmeans_core(emb, n_real, key, k)
+        fn = jax.jit(run)
+        _FINAL_JIT_CACHE[key_shape] = fn
+
+    if isinstance(aff, np.ndarray):
+        a_pad = np.zeros((N_pad, N_pad), np.float32)
+        a_pad[:N, :N] = aff
+        a_dev = jnp.asarray(a_pad)
+    else:
+        a_dev = jnp.pad(aff.astype(jnp.float32),
+                        ((0, N_pad - N), (0, N_pad - N)))
+    # ASYNC device labels — callers batch downloads across sessions
+    return fn(a_dev, jnp.asarray(p_hat, jnp.int32),
+              jnp.asarray(N, jnp.int32), jax.random.PRNGKey(seed))
+
+
+def nmesc_batch(affs, max_num_speakers: int = 8,
+                max_rp_threshold: float = 0.06,
+                sparse_search_volume: int = 30):
+    """nmesc over many sessions with ALL stats dispatched async and ONE
+    stacked download — on a latency-bound host link, per-session syncs
+    dominated the clustering stage."""
+    import jax.numpy as jnp
+    pend = {}
+    results: list = [None] * len(affs)
+    for i, aff in enumerate(affs):
+        N = aff.shape[0]
+        if not (_is_device_array(aff) and _accelerator_available()
+                and N >= 64):
+            results[i] = nmesc(aff, max_num_speakers, max_rp_threshold,
+                               sparse_search_volume)
+            continue
+        p_max = max(int(np.floor(N * max_rp_threshold)), 2)
+        candidates = np.unique(np.linspace(1, p_max, num=min(
+            sparse_search_volume, p_max)).astype(int))
+        packed_dev, P, upper = _candidate_eigs_device(
+            aff, candidates, max_num_speakers)
+        pend.setdefault(packed_dev.shape, []).append(
+            (i, packed_dev, P, upper, candidates, N))
+    for shape, items in pend.items():
+        stacked = np.asarray(jnp.stack([it[1] for it in items]),
+                             np.float64)           # ONE download
+        for row, (i, _, P, upper, candidates, N) in enumerate(items):
+            cand_results = _results_from_stats(stacked[row], P, upper,
+                                               candidates, N)
+            best = None
+            for r in cand_results:
+                if best is None or r.g_p < best.g_p:
+                    best = r
+            if not best.connected:      # rare repair path: host walk
+                aff_np = np.asarray(affs[i], np.float64)
+                for p in range(best.p_hat + 1, N + 1):
+                    aff_p = binarize_top_p(aff_np, p)
+                    if is_graph_fully_connected(aff_p):
+                        num_spk, _, _ = estimate_num_speakers(
+                            aff_p, max_num_speakers)
+                        best = NmescResult(num_spk, p, best.g_p, True)
+                        break
+            results[i] = best
+    return results
+
+
+def run_clustering_batch(affs, max_num_speakers: int = 8,
+                         max_rp_threshold: float = 0.06,
+                         sparse_search_volume: int = 30):
+    """run_clustering over many sessions: async stats (one download),
+    async fused finals (one download per shape group). Returns the label
+    arrays in order."""
+    import jax.numpy as jnp
+    results = nmesc_batch(affs, max_num_speakers, max_rp_threshold,
+                          sparse_search_volume)
+    labels: list = [None] * len(affs)
+    pend = {}
+    for i, (aff, res) in enumerate(zip(affs, results)):
+        N = aff.shape[0]
+        if not (_is_device_array(aff) and _accelerator_available()
+                and N >= 64):
+            aff_b = binarize_top_p(np.asarray(aff, np.float64), res.p_hat)
+            labels[i] = spectral_clustering(aff_b, res.num_speakers)
+        elif res.num_speakers <= 1:
+            labels[i] = np.zeros(N, np.int64)
+        else:
+            dev = _final_cluster_device(aff, res.p_hat, res.num_speakers)
+            pend.setdefault(dev.shape, []).append((i, dev, N))
+    for shape, items in pend.items():
+        stacked = np.asarray(jnp.stack([it[1] for it in items]))
+        for row, (i, _, N) in enumerate(items):
+            labels[i] = stacked[row, :N].astype(np.int64)
+    return labels

@@ -202,6 +202,112 @@ def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
     return out
 
 
+def word_based_clustering_batch(sessions: List[dict], cfg: DiarizationCfg,
+                                encoder=None) -> List[pd.DataFrame]:
+    """word_based_clustering over MANY sessions with ONE shared
+    speaker-embedding pass.
+
+    sessions: list of dicts with keys `wav_files` (list of paths),
+    `segments_df`, and optionally `session_wavs` ([n_streams, L] np or
+    device array) + `sr`. All sessions' (word, scale) windows merge into
+    a combined channel bank, so the embedding stage costs a handful of
+    bucket dispatches TOTAL instead of per session — per-dispatch latency
+    on the host link made serial per-session embedding the diarization
+    floor. Clustering then runs per session (NeMo semantics are strictly
+    per-session). Returns the diarized dataframes in order."""
+    if encoder is None:
+        encoder = resolve_speaker_encoder(cfg)
+    srs = [s.get("sr", 16000) for s in sessions]
+    assert len(set(srs)) <= 1, "mixed sample rates in one diar batch"
+    sr = srs[0] if srs else 16000
+
+    banks, metas = [], []
+    ch_base = 0
+    all_words: List[list] = []
+    all_windows: List[List[Tuple[float, float]]] = []
+    for sess in sessions:
+        wavs = sess.get("session_wavs")
+        if wavs is None:
+            srs_wavs = [read_wav(f, normalize=True, return_rate=True)
+                        for f in sess["wav_files"]]
+            wav_list = [w if w.ndim == 1 else w[0] for _, w in srs_wavs]
+            max_len = max(w.size for w in wav_list)
+            wavs = np.stack([np.pad(w, (0, max_len - w.size))
+                             for w in wav_list])
+        dur = wavs.shape[1] / sr
+        words, windows = collect_word_windows(
+            sess["segments_df"], dur, cfg.min_embedding_windows,
+            cfg.max_allowed_word_duration)
+        for w in words:
+            w[3] += ch_base
+        metas.append((len(all_words), len(words), sess["segments_df"],
+                      ch_base))
+        all_words.extend(words)
+        all_windows.extend(windows)
+        banks.append(wavs)
+        ch_base += wavs.shape[0]
+
+    outs: List[Optional[pd.DataFrame]] = [None] * len(sessions)
+    if not all_words:
+        for i, (_, _, df, _) in enumerate(metas):
+            out = df.copy()
+            out["speaker_id"] = "spk0"
+            outs[i] = out
+        return outs
+
+    L_max = max(b.shape[1] for b in banks)
+    any_dev = any(not isinstance(b, np.ndarray) for b in banks)
+    if any_dev:
+        import jax.numpy as jnp
+        rows = [b if isinstance(b, np.ndarray) is False else jnp.asarray(b)
+                for b in banks]
+        bank = jnp.concatenate(
+            [jnp.pad(r.astype(jnp.float32),
+                     ((0, 0), (0, L_max - r.shape[1]))) for r in rows],
+            axis=0)
+    else:
+        bank = np.concatenate(
+            [np.pad(b.astype(np.float32),
+                    ((0, 0), (0, L_max - b.shape[1]))) for b in banks],
+            axis=0)
+
+    emb = extract_embeddings_bucketed(encoder, bank, sr, all_words,
+                                      all_windows)
+
+    # affinities dispatch async per session; the clustering batch then
+    # syncs ONCE for all sessions' stats and once for all labels
+    from notsofar_tpu.diarization.clustering import run_clustering_batch
+    affs, aff_idx = [], []
+    for i, (w0, n_w, df, base) in enumerate(metas):
+        if n_w == 0:
+            continue
+        emb_s = emb[w0:w0 + n_w]
+        if isinstance(emb_s, np.ndarray):
+            n_scales = emb_s.shape[1]
+            affs.append(np.mean([cos_affinity_matrix(emb_s[:, s])
+                                 for s in range(n_scales)], axis=0))
+        else:
+            affs.append(_cos_affinity_multiscale_device(emb_s))
+        aff_idx.append(i)
+    all_labels = run_clustering_batch(affs)
+    labels_by_session = dict(zip(aff_idx, all_labels))
+
+    for i, (w0, n_w, df, base) in enumerate(metas):
+        if n_w == 0:
+            out = df.copy()
+            out["speaker_id"] = "spk0"
+            outs[i] = out
+            continue
+        labels = labels_by_session[i]
+        # undo the bank channel offset: the attributed frame indexes the
+        # session's own wav_file_name categories
+        sess_words = [[w[0], w[1], w[2], w[3] - base, f"spk{int(l)}"]
+                      for w, l in zip(all_words[w0:w0 + n_w], labels)]
+        outs[i] = prepare_diarized_data_frame(sess_words, df,
+                                              cfg.apply_deduplication)
+    return outs
+
+
 def _cos_affinity_multiscale_device(emb):
     """Scale-averaged min-max-scaled cosine affinity, mirroring
     cos_affinity_matrix per scale, on device (f32): emb [N, S, D] ->

@@ -307,10 +307,16 @@ class WhisperModel:
                                           pos_offset)
         return logits
 
-    def empty_kv_caches(self, batch: int):
+    def empty_kv_caches(self, batch: int, dtype=None):
+        """Self-attention caches. Default dtype follows the model's compute
+        dtype: with bf16 matmuls the cache holds bf16-computed values
+        anyway, and f32 storage doubles the dominant decode memory
+        (batch x ctx x D x 2 x layers)."""
         d = self.dims
-        return [(jnp.zeros((batch, d.n_text_ctx, d.n_text_state), jnp.float32),
-                 jnp.zeros((batch, d.n_text_ctx, d.n_text_state), jnp.float32))
+        if dtype is None:
+            dtype = self.decoder.dtype
+        return [(jnp.zeros((batch, d.n_text_ctx, d.n_text_state), dtype),
+                 jnp.zeros((batch, d.n_text_ctx, d.n_text_state), dtype))
                 for _ in range(d.n_text_layer)]
 
     def precompute_cross_kv(self, decoder_variables, xa):

@@ -257,6 +257,12 @@ def test_nmesc_device_path_parity(monkeypatch):
     monkeypatch.setattr(C, "_accelerator_available", lambda: True)
     dev = nmesc(aff)
     dev_labels = run_clustering(aff)
+    # device-resident affinity exercises the fused one-dispatch final
+    # stage (binarize + LOBPCG eigenvectors + k-means) and the in-stats
+    # connectivity flags
+    import jax.numpy as jnp
+    res_labels = run_clustering(jnp.asarray(aff, jnp.float32))
+    assert agree(res_labels, dev_labels) == 1.0
 
     assert dev.num_speakers == host.num_speakers
     assert dev.p_hat == host.p_hat
@@ -313,3 +319,52 @@ def test_word_based_clustering_session_wavs(tmp_path):
     out_res = word_based_clustering(files, df, cfg, encoder=enc,
                                     session_wavs=wavs, sr=16000)
     assert list(out_files.speaker_id) == list(out_res.speaker_id)
+
+
+def test_word_based_clustering_batch_matches_serial(tmp_path):
+    """The shared-embedding batch API must reproduce per-session calls."""
+    from notsofar_tpu.diarization.word_based import (
+        word_based_clustering, word_based_clustering_batch)
+    d1 = tmp_path / "s1"
+    d2 = tmp_path / "s2"
+    d1.mkdir(), d2.mkdir()
+    dfs, files = [], []
+    for d in (d1, d2):
+        df = _segments_df(d)
+        df["wav_file_name"] = df["wav_file_name"].astype("category")
+        df["wav_file_name_ind"] = df["wav_file_name"].cat.codes
+        dfs.append(df)
+        files.append(sorted(str(p) for p in d.glob("sep_stream*.wav")))
+    cfg = DiarizationCfg(method="word_nmesc",
+                         min_embedding_windows=[1.0, 0.5],
+                         apply_deduplication=False)
+    enc = SpectralToyEncoder()
+    serial = [word_based_clustering(files[i], dfs[i], cfg, encoder=enc)
+              for i in range(2)]
+    batch = word_based_clustering_batch(
+        [dict(wav_files=files[i], segments_df=dfs[i]) for i in range(2)],
+        cfg, encoder=enc)
+    for a, b in zip(serial, batch):
+        assert list(a.wav_file_name) == list(b.wav_file_name)
+        assert list(a.text) == list(b.text)
+        assert len(set(zip(a.speaker_id, b.speaker_id))) == \
+            len(set(a.speaker_id))  # same partition up to label names
+
+
+def test_run_clustering_batch_matches_single(monkeypatch):
+    """Async-batched session clustering (one stats download, one label
+    download) must match per-session run_clustering on the device path."""
+    import jax.numpy as jnp
+    import notsofar_tpu.diarization.clustering as C
+    rng = np.random.RandomState(9)
+    affs = []
+    for t in range(3):
+        spk = rng.randn(3 + t % 2, 48)
+        emb = spk[rng.randint(len(spk), size=120 + 16 * t)] + \
+            0.4 * rng.randn(120 + 16 * t, 48)
+        affs.append(jnp.asarray(cos_affinity_matrix(emb), jnp.float32))
+    monkeypatch.setattr(C, "_accelerator_available", lambda: True)
+    singles = [run_clustering(a) for a in affs]
+    batched = C.run_clustering_batch(affs)
+    for s, b in zip(singles, batched):
+        assert agree(np.asarray(s), np.asarray(b)) == 1.0

@@ -462,3 +462,15 @@ def test_dtw_device_matches_host():
             if int(ts[b, i]) != first[i]:
                 mismatches += 1
     assert mismatches <= max(1, total // 50), (mismatches, total)
+
+
+def test_median7_network_exhaustive():
+    """The 21-exchange median network must equal the true median on every
+    permutation of 7 distinct values."""
+    import itertools
+    import jax.numpy as jnp
+    from notsofar_tpu.asr.decoding import _median7_network
+    perms = np.array(list(itertools.permutations(range(7))), np.float32)
+    lanes = [jnp.asarray(perms[:, k]) for k in range(7)]
+    med = np.asarray(_median7_network(lanes))
+    assert (med == 3.0).all()
