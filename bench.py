@@ -1,18 +1,19 @@
-"""Benchmark: CSS separation throughput on the real chip.
+"""Benchmark entry point.
 
-Measures the multichannel CSS engine end-to-end in the batched serving
-configuration (4 sessions per dispatch, bfloat16 Conformer) — full-session STFT,
-windowed Conformer-large mask estimation, on-device MVDR, PIT stitching,
-activity gating, iSTFT — on a synthetic 7-mic session, and reports RTFx
-(audio seconds processed per wall-clock second per chip).
+DEFAULT: the FULL serving pipeline (CSS -> ASR -> word_nmesc diarization)
+via bench_pipeline.py — the BASELINE.md north star is pipeline RTFx on
+multichannel sessions, not any single stage. Prints ONE JSON line
+    {"metric": "pipeline_mc_rtfx", ...}.
 
-Prints ONE JSON line:
-    {"metric": "css_mc_rtfx", "value": N, "unit": "audio_sec/sec/chip",
-     "vs_baseline": N / 50.0}
-vs_baseline is relative to the ≥50x real-time per-chip north star
-(BASELINE.md). The model uses the shipped conformer1.0-large architecture
-(18 blocks, 512 dim) with random weights — identical FLOPs to serving the
-real checkpoint.
+Flags:
+    --css      the CSS-stage micro-benchmark only (4-session batched
+               serving configuration; metric css_mc_rtfx)
+    --pallas   additionally record Pallas masked-SCM kernel parity/timing
+               vs the XLA einsum on stderr, and use it in the CSS stage
+
+Models use the shipped architectures (conformer1.0-large, whisper
+large-v3, titanet_large) with random weights — identical FLOPs/memory
+traffic to serving real checkpoints.
 """
 import json
 import sys
@@ -121,4 +122,11 @@ def main(audio_seconds: float = 120.0, repeats: int = 6, batch: int = 4,
 
 
 if __name__ == "__main__":
-    main(use_pallas="--pallas" in sys.argv)
+    if "--css" in sys.argv:
+        main(use_pallas="--pallas" in sys.argv)
+    else:
+        # default: the composed-pipeline metric (the north-star number)
+        import bench_pipeline
+        sys.argv = [sys.argv[0], "--sessions", "8", "--seconds", "120",
+                    "--repeats", "2"]
+        bench_pipeline.main()

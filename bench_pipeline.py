@@ -171,7 +171,8 @@ def main():
             template)
 
     # ---- diarization (TitaNet-large dims, shipped 6 scales) --------------
-    encoder = SpeakerEncoder(TitaNetConfig())   # titanet_large dims
+    encoder = SpeakerEncoder(TitaNetConfig(),   # titanet_large dims
+                             compute_dtype=jnp.bfloat16)
     diar_cfg = DiarizationCfg(
         method="word_nmesc",
         min_embedding_windows=[3.0, 2.5, 2.0, 1.5, 1.0, 0.5])
@@ -253,11 +254,12 @@ def main():
                         * inv[si][:, None])
             sessions.append(dict(wav_files=wav_files, segments_df=df,
                                  session_wavs=sess_dev, sr=fs))
+        t_wav = time.time() - t0
         # one shared embedding pass for ALL sessions (diar batch API)
         labels = word_based_clustering_batch(sessions, diar_cfg,
                                              encoder=encoder)
-        from notsofar_tpu.diarization import clustering as _cl
-        print(f"{tag}: diar clustering={_cl.LAST_TIMINGS}",
+        print(f"{tag}: diar wav-write {t_wav:.2f}s | "
+              f"batch-call {time.time() - t0 - t_wav:.2f}s",
               file=sys.stderr, flush=True)
         stage_t["diar"] = time.time() - t0
 

@@ -21,6 +21,10 @@ class DiarizationCfg:
     embedding_model_name: str = "titanet_large"
     msdd_model_name: str = "diar_msdd_telephonic"
     vad_model_name: str = "vad_multilingual_marblenet"
+    # TPU extension: speaker-encoder matmul dtype ('bfloat16' = MXU fast
+    # path, ~4x on v5e; cosine-affinity clustering is robust to bf16
+    # embeddings — 'float32' for strict NeMo-parity runs)
+    embedding_compute_dtype: str = "bfloat16"
 
 
 def merge_words_to_segments_by_spk_change(all_words: list):

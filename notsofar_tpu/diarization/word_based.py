@@ -42,9 +42,12 @@ def resolve_speaker_encoder(cfg: DiarizationCfg):
     path), else a randomly-initialized encoder (pipeline-smoke mode,
     clearly logged)."""
     import os
+    import jax.numpy as jnp
     from notsofar_tpu.models.titanet import SpeakerEncoder
     name = cfg.embedding_model_name
-    key = name
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        getattr(cfg, "embedding_compute_dtype", "float32")]
+    key = (name, str(dtype))
     if key in _ENCODER_CACHE:
         return _ENCODER_CACHE[key]
     candidates = []
@@ -57,12 +60,12 @@ def resolve_speaker_encoder(cfg: DiarizationCfg):
     for cand in candidates:
         if os.path.exists(cand):
             _LOG.info(f"loading speaker encoder from {cand}")
-            enc = SpeakerEncoder.from_checkpoint(cand)
+            enc = SpeakerEncoder.from_checkpoint(cand, compute_dtype=dtype)
             _ENCODER_CACHE[key] = enc
             return enc
     _LOG.warning(f"speaker model '{name}' not found (set NOTSOFAR_MODELS_DIR"
                  ") — using RANDOM weights; labels will be arbitrary")
-    _ENCODER_CACHE[key] = SpeakerEncoder()
+    _ENCODER_CACHE[key] = SpeakerEncoder(compute_dtype=dtype)
     return _ENCODER_CACHE[key]
 
 
@@ -123,9 +126,12 @@ def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
             s1 = min(s1, wavs.shape[1])
             tasks.append((wi, si, ch, s0, max(s1 - s0, 1)))
 
-    # bucket by next power of two of length
+    # bucket to 0.512 s multiples: the shipped scales are 0.5-3.0 s, so
+    # power-of-two sample buckets padded windows by up to ~60% (a 2.0 s
+    # window paid 4.1 s of encoder frames); multiples keep the compile
+    # count at one per scale with <=0.5 s padding
     def bucket_len(n):
-        return 1 << max(int(math.ceil(math.log2(max(n, 256)))), 8)
+        return int(math.ceil(max(n, 1) / 8192) * 8192)
 
     buckets = {}
     for t in tasks:

@@ -212,7 +212,8 @@ class SpeakerEncoder:
     """Bundle of (module, variables) with a batched embedding entry point."""
 
     @staticmethod
-    def from_checkpoint(path, cfg: TitaNetConfig = TitaNetConfig()):
+    def from_checkpoint(path, cfg: TitaNetConfig = TitaNetConfig(),
+                        compute_dtype=jnp.float32):
         """Load from a NeMo .nemo archive or a torch state-dict file."""
         from notsofar_tpu.models.titanet_convert import (convert_nemo_titanet,
                                                          load_nemo_archive)
@@ -226,12 +227,17 @@ class SpeakerEncoder:
         variables = convert_nemo_titanet(sd, cfg)
         import jax.numpy as _jnp
         variables = jax.tree_util.tree_map(_jnp.asarray, variables)
-        return SpeakerEncoder(cfg, variables=variables)
+        return SpeakerEncoder(cfg, variables=variables,
+                              compute_dtype=compute_dtype)
 
     def __init__(self, cfg: TitaNetConfig = TitaNetConfig(), variables=None,
-                 rng=None):
+                 rng=None, compute_dtype=jnp.float32):
+        """compute_dtype bf16 runs the conv/matmul stack on the MXU fast
+        path (~4x on v5e); the mel frontend and pooling statistics stay
+        f32. Cosine-affinity clustering is robust to bf16 embeddings
+        (parity-tested); pass f32 for strict NeMo-parity runs."""
         self.cfg = cfg
-        self.module = TitaNet(cfg)
+        self.module = TitaNet(cfg, dtype=compute_dtype)
         if variables is None:
             rng = rng if rng is not None else jax.random.PRNGKey(0)
             feats = jnp.zeros((1, cfg.n_mels, 50), jnp.float32)
