@@ -379,34 +379,47 @@ def nmesc(affinity: np.ndarray, max_num_speakers: int = 8,
         sparse_search_volume, p_max)).astype(int))
 
     results = _eval_candidates(affinity, candidates, max_num_speakers)
+    return _pick_with_repair(results, affinity, max_num_speakers)
+
+
+def _pick_with_repair(cand_results, affinity, max_num_speakers: int
+                      ) -> NmescResult:
+    """argmin g_p + connectivity repair (NeMo getMinimumConnection): a
+    pruning level that disconnects the affinity graph yields all-zero
+    eigengaps and a meaningless speaker count. NeMo walks its CANDIDATE
+    list to the first connected p — connectivity is monotone in p, and
+    the device stats dispatch already carries every candidate's flag, so
+    the common repair costs nothing (the previous +1 host walk with
+    argpartition + eigvalsh per step took ~10 s per session on a
+    single-core host). Only when no candidate connects does a +1 host
+    walk beyond the last candidate run."""
+    N = affinity.shape[0]
     best = None
-    for r in results:
+    for r in cand_results:
         if best is None or r.g_p < best.g_p:
             best = r
-    # connectivity repair (NeMo getMinimumConnection): a pruning level that
-    # disconnects the affinity graph yields all-zero eigengaps and a
-    # meaningless speaker count — raise p until the graph is connected and
-    # re-estimate there. NeMo walks its candidate list; we continue up to N
-    # so small-N inputs (where max_rp_threshold*N is just 2-3 neighbors)
-    # also recover. The common (connected) case is checked on device for
-    # resident affinities; the rare repair loop downloads once.
-    if best.connected is not None:
-        connected = best.connected      # came with the stats dispatch
-    elif _is_device_array(affinity) and _accelerator_available():
-        connected = _connected_device(_binarize_device(affinity,
-                                                       best.p_hat))
-    else:
-        connected = is_graph_fully_connected(
-            binarize_top_p(np.asarray(affinity, np.float64), best.p_hat))
-    if not connected:
+
+    def is_connected(r: NmescResult) -> bool:
+        if r.connected is not None:
+            return r.connected
+        if _is_device_array(affinity) and _accelerator_available():
+            return _connected_device(_binarize_device(affinity, r.p_hat))
+        return is_graph_fully_connected(
+            binarize_top_p(np.asarray(affinity, np.float64), r.p_hat))
+
+    if not is_connected(best):
+        for r in sorted(cand_results, key=lambda r: r.p_hat):
+            if r.p_hat > best.p_hat and is_connected(r):
+                return NmescResult(r.num_speakers, r.p_hat, best.g_p, True)
+        # no connected candidate: host walk past the last candidate (rare)
         aff_np = np.asarray(affinity, np.float64)
-        for p in range(best.p_hat + 1, N + 1):
+        start = max(r.p_hat for r in cand_results) + 1
+        for p in range(start, N + 1):
             aff_p = binarize_top_p(aff_np, p)
             if is_graph_fully_connected(aff_p):
                 num_spk, _, _ = estimate_num_speakers(aff_p,
                                                       max_num_speakers)
-                best = NmescResult(num_spk, p, best.g_p)
-                break
+                return NmescResult(num_spk, p, best.g_p, True)
     return best
 
 
@@ -781,20 +794,8 @@ def nmesc_batch(affs, max_num_speakers: int = 8,
         for row, (i, _, P, upper, candidates, N) in enumerate(items):
             cand_results = _results_from_stats(stacked[row], P, upper,
                                                candidates, N)
-            best = None
-            for r in cand_results:
-                if best is None or r.g_p < best.g_p:
-                    best = r
-            if not best.connected:      # rare repair path: host walk
-                aff_np = np.asarray(affs[i], np.float64)
-                for p in range(best.p_hat + 1, N + 1):
-                    aff_p = binarize_top_p(aff_np, p)
-                    if is_graph_fully_connected(aff_p):
-                        num_spk, _, _ = estimate_num_speakers(
-                            aff_p, max_num_speakers)
-                        best = NmescResult(num_spk, p, best.g_p, True)
-                        break
-            results[i] = best
+            results[i] = _pick_with_repair(cand_results, affs[i],
+                                           max_num_speakers)
     return results
 
 

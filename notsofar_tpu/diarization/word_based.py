@@ -221,6 +221,17 @@ def word_based_clustering_batch(sessions: List[dict], cfg: DiarizationCfg,
     on the host link made serial per-session embedding the diarization
     floor. Clustering then runs per session (NeMo semantics are strictly
     per-session). Returns the diarized dataframes in order."""
+    import os
+    import time
+    dbg = os.environ.get("NOTSOFAR_DIAR_DEBUG")
+    marks = [("start", time.time())]
+
+    def mark(name, sync=None):
+        if dbg and sync is not None:
+            import jax
+            jax.block_until_ready(sync)
+        marks.append((name, time.time()))
+
     if encoder is None:
         encoder = resolve_speaker_encoder(cfg)
     srs = [s.get("sr", 16000) for s in sessions]
@@ -277,8 +288,10 @@ def word_based_clustering_batch(sessions: List[dict], cfg: DiarizationCfg,
                     ((0, 0), (0, L_max - b.shape[1]))) for b in banks],
             axis=0)
 
+    mark("collect+bank")
     emb = extract_embeddings_bucketed(encoder, bank, sr, all_words,
                                       all_windows)
+    mark("embed", sync=emb)
 
     # affinities dispatch async per session; the clustering batch then
     # syncs ONCE for all sessions' stats and once for all labels
@@ -295,7 +308,9 @@ def word_based_clustering_batch(sessions: List[dict], cfg: DiarizationCfg,
         else:
             affs.append(_cos_affinity_multiscale_device(emb_s))
         aff_idx.append(i)
+    mark("affinity", sync=affs[-1] if affs else None)
     all_labels = run_clustering_batch(affs)
+    mark("cluster")
     labels_by_session = dict(zip(aff_idx, all_labels))
 
     for i, (w0, n_w, df, base) in enumerate(metas):
@@ -311,6 +326,12 @@ def word_based_clustering_batch(sessions: List[dict], cfg: DiarizationCfg,
                       for w, l in zip(all_words[w0:w0 + n_w], labels)]
         outs[i] = prepare_diarized_data_frame(sess_words, df,
                                               cfg.apply_deduplication)
+    mark("df")
+    if dbg:
+        import sys
+        spans = {b: round(tb - ta, 2) for (_, ta), (b, tb)
+                 in zip(marks, marks[1:])}
+        print(f"diar batch phases: {spans}", file=sys.stderr, flush=True)
     return outs
 
 
