@@ -411,9 +411,23 @@ def _pick_with_repair(cand_results, affinity, max_num_speakers: int
         for r in sorted(cand_results, key=lambda r: r.p_hat):
             if r.p_hat > best.p_hat and is_connected(r):
                 return NmescResult(r.num_speakers, r.p_hat, best.g_p, True)
-        # no connected candidate: host walk past the last candidate (rare)
-        aff_np = np.asarray(affinity, np.float64)
+        # no candidate connects: search past the last candidate. On
+        # device this is two connectivity-LADDER dispatches (monotone in
+        # p, so coarse bracket then refinement finds the minimal
+        # connected p) plus one single-candidate stats call — the former
+        # +1 host walk (argpartition + BFS per step) took tens of seconds
+        # per session whenever degenerate affinities landed here.
         start = max(r.p_hat for r in cand_results) + 1
+        if _is_device_array(affinity) and _accelerator_available():
+            p_fix = _min_connected_p_device(affinity, start)
+            if p_fix is None:
+                return best     # nothing connects (degenerate graph)
+            stats_dev, P, upper = _candidate_eigs_device(
+                affinity, np.asarray([p_fix]), max_num_speakers)
+            rs = _results_from_stats(np.asarray(stats_dev, np.float64),
+                                     P, upper, np.asarray([p_fix]), N)
+            return NmescResult(rs[0].num_speakers, p_fix, best.g_p, True)
+        aff_np = np.asarray(affinity, np.float64)
         for p in range(start, N + 1):
             aff_p = binarize_top_p(aff_np, p)
             if is_graph_fully_connected(aff_p):
@@ -421,6 +435,71 @@ def _pick_with_repair(cand_results, affinity, max_num_speakers: int
                                                       max_num_speakers)
                 return NmescResult(num_spk, p, best.g_p, True)
     return best
+
+
+_LADDER_JIT_CACHE: dict = {}
+
+
+def _connectivity_ladder_device(aff, ps: np.ndarray) -> np.ndarray:
+    """Connectivity of the top-p graph for MANY p values in ONE dispatch
+    (threshold binarize batched over ps + log-depth reachability)."""
+    import jax
+    import jax.numpy as jnp
+    N = aff.shape[0]
+    N_pad = int(np.ceil(N / 256) * 256)
+    P = len(ps)
+    P_pad = 48      # fixed rung width -> one compile per N bucket
+    ps = np.concatenate([ps, np.full(P_pad - P, ps[-1])]) if P < P_pad \
+        else ps[:P_pad]
+    key = (N_pad, P_pad)
+    fn = _LADDER_JIT_CACHE.get(key)
+    if fn is None:
+        def run(a, cand, n_real):
+            real = jnp.arange(N_pad) < n_real
+            srt = jnp.sort(a, axis=1)[:, ::-1]          # [N, N] desc rows
+            thr = srt[:, jnp.clip(cand - 1, 0, N_pad - 1)].T   # [P, N]
+            x = jnp.where(a[None] >= thr[:, :, None], a[None], 0.0)
+            sym = 0.5 * (x + jnp.swapaxes(x, 1, 2))
+            adj = jnp.clip((sym > 0).astype(jnp.bfloat16)
+                           + jnp.eye(N_pad, dtype=jnp.bfloat16)[None],
+                           0.0, 1.0)
+
+            def square(m, _):
+                return jnp.clip(m @ m, 0.0, 1.0), None
+
+            steps = max(int(np.ceil(np.log2(max(N_pad, 2)))), 1)
+            reach, _ = jax.lax.scan(square, adj, None, length=steps)
+            return jnp.all((reach[:, 0] > 0) | (~real)[None], axis=1)
+        fn = jax.jit(run)
+        _LADDER_JIT_CACHE[key] = fn
+    a_dev = jnp.pad(aff.astype(jnp.float32),
+                    ((0, N_pad - N), (0, N_pad - N)))
+    return np.asarray(fn(a_dev, jnp.asarray(ps, jnp.int32),
+                         jnp.asarray(N, jnp.int32)))[:P]
+
+
+def _min_connected_p_device(aff, start: int, rungs: int = 48):
+    """Minimal p >= start whose top-p graph is connected, via two ladder
+    dispatches (connectivity is monotone in p: coarse bracket, then exact
+    refinement inside it)."""
+    N = aff.shape[0]
+    if start > N:
+        return None
+    coarse = np.unique(np.linspace(start, N, num=min(rungs, N - start + 1)
+                                   ).astype(int))
+    conn = _connectivity_ladder_device(aff, coarse)
+    if not conn.any():
+        return None
+    hi_idx = int(np.argmax(conn))
+    hi = int(coarse[hi_idx])
+    lo = start if hi_idx == 0 else int(coarse[hi_idx - 1]) + 1
+    if lo >= hi:
+        return hi
+    fine = np.arange(lo, hi + 1, dtype=int)
+    if len(fine) > rungs:   # bracket wider than one rung: refine coarsely
+        fine = np.unique(np.linspace(lo, hi, num=rungs).astype(int))
+    conn2 = _connectivity_ladder_device(aff, fine)
+    return int(fine[int(np.argmax(conn2))]) if conn2.any() else hi
 
 
 _CONN_JIT_CACHE: dict = {}

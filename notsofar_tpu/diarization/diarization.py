@@ -75,3 +75,45 @@ def diarization_inference(out_dir: str, segments_df: pd.DataFrame,
     attributed.to_pickle(out_file)
     _LOG.info(f"Speaker Diarization saved to {out_file}")
     return attributed
+
+
+def diarization_batch_prepass(out_dir: str, sessions_segments,
+                              cfg: DiarizationCfg, fetch_from_cache: bool,
+                              encoder=None) -> None:
+    """Cross-session word_nmesc prepass (TPU extension, mirroring the
+    CSS/ASR prepasses): all sessions' speaker-embedding windows run as
+    one shared batch (word_based_clustering_batch) and each session's
+    result lands in the standard diarization cache, so the per-session
+    loop becomes cache hits. No cross-session information flows into any
+    clustering decision — affinities and NMESC stay strictly per session
+    (the reference's constraint, diarization.py:28)."""
+    if cfg.method != "word_nmesc":
+        return
+    from notsofar_tpu.diarization.word_based import \
+        word_based_clustering_batch
+    jobs = []
+    for segments_df in sessions_segments:
+        if len(segments_df) == 0:
+            continue
+        assert segments_df.session_id.nunique() == 1
+        session_name = segments_df.session_id.iloc[0]
+        out_file = Path(out_dir) / "diarization" / session_name \
+            / cfg.method / "all_segments_df.pkl"
+        if fetch_from_cache and out_file.exists():
+            continue
+        df = segments_df.copy()
+        df["wav_file_name"] = df["wav_file_name"].astype("category")
+        df["wav_file_name_ind"] = df["wav_file_name"].cat.codes
+        wav_files = df["wav_file_name"].cat.categories.to_list()
+        jobs.append((out_file, wav_files, df))
+    if not jobs:
+        return
+    _LOG.info(f"Diarization prepass: {len(jobs)} sessions in one "
+              "embedding batch")
+    outs = word_based_clustering_batch(
+        [dict(wav_files=w, segments_df=d) for _, w, d in jobs], cfg,
+        encoder=encoder)
+    for (out_file, _, _), attributed in zip(jobs, outs):
+        out_file.parent.mkdir(parents=True, exist_ok=True)
+        attributed.to_pickle(out_file)
+        _LOG.info(f"Speaker Diarization saved to {out_file}")

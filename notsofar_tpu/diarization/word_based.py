@@ -293,21 +293,36 @@ def word_based_clustering_batch(sessions: List[dict], cfg: DiarizationCfg,
                                       all_windows)
     mark("embed", sync=emb)
 
-    # affinities dispatch async per session; the clustering batch then
-    # syncs ONCE for all sessions' stats and once for all labels
+    # affinities: sessions with equal word counts batch into ONE device
+    # dispatch (per-dispatch latency on the host link made 8 per-session
+    # calls cost ~10 s); the clustering batch then syncs ONCE for all
+    # sessions' stats and once for all labels
     from notsofar_tpu.diarization.clustering import run_clustering_batch
     affs, aff_idx = [], []
-    for i, (w0, n_w, df, base) in enumerate(metas):
-        if n_w == 0:
-            continue
-        emb_s = emb[w0:w0 + n_w]
-        if isinstance(emb_s, np.ndarray):
-            n_scales = emb_s.shape[1]
+    if not isinstance(emb, np.ndarray):
+        groups: dict = {}
+        for i, (w0, n_w, df, base) in enumerate(metas):
+            if n_w:
+                groups.setdefault(n_w, []).append((i, w0))
+        import jax.numpy as jnp
+        for n_w, items in groups.items():
+            stacked = jnp.stack([emb[w0:w0 + n_w] for _, w0 in items])
+            batch_aff = _cos_affinity_multiscale_device_batch(stacked)
+            for row, (i, _) in enumerate(items):
+                affs.append(batch_aff[row])
+                aff_idx.append(i)
+        order = np.argsort(aff_idx)
+        affs = [affs[o] for o in order]
+        aff_idx = [aff_idx[o] for o in order]
+    else:
+        for i, (w0, n_w, df, base) in enumerate(metas):
+            if n_w == 0:
+                continue
+            n_scales = emb.shape[1]
+            emb_s = emb[w0:w0 + n_w]
             affs.append(np.mean([cos_affinity_matrix(emb_s[:, s])
                                  for s in range(n_scales)], axis=0))
-        else:
-            affs.append(_cos_affinity_multiscale_device(emb_s))
-        aff_idx.append(i)
+            aff_idx.append(i)
     mark("affinity", sync=affs[-1] if affs else None)
     all_labels = run_clustering_batch(affs)
     mark("cluster")
@@ -335,28 +350,47 @@ def word_based_clustering_batch(sessions: List[dict], cfg: DiarizationCfg,
     return outs
 
 
-def _cos_affinity_multiscale_device(emb):
-    """Scale-averaged min-max-scaled cosine affinity, mirroring
-    cos_affinity_matrix per scale, on device (f32): emb [N, S, D] ->
-    [N, N]. Feeds the device clustering chain without a host round
-    trip."""
+def _cos_affinity_multiscale_device_batch(emb):
+    """Batched _cos_affinity_multiscale_device: emb [B, N, S, D] ->
+    [B, N, N] in one dispatch."""
     import jax
-    import jax.numpy as jnp
 
     @jax.jit
     def run(e):
-        e = jnp.moveaxis(e, 1, 0)                       # [S, N, D]
-        norm = jnp.linalg.norm(e, axis=2, keepdims=True) + 1e-12
-        u = e / norm
-        sim = jnp.einsum("snd,smd->snm", u, u)
-        N = sim.shape[-1]
-        eye = jnp.eye(N, dtype=sim.dtype)
-        sim = sim * (1 - eye)[None] + eye[None]
-        lo = sim.min(axis=(1, 2), keepdims=True)
-        hi = sim.max(axis=(1, 2), keepdims=True)
-        scaled = jnp.where(hi - lo < 1e-12, jnp.ones_like(sim),
-                           (sim - lo) / jnp.maximum(hi - lo, 1e-12))
-        return scaled.mean(axis=0)
+        return jax.vmap(_affinity_core)(e)
+
+    return run(emb)
+
+
+def _affinity_core(e):
+    """Traceable scale-averaged min-max cosine affinity: [N, S, D] ->
+    [N, N], mirroring cos_affinity_matrix per scale."""
+    import jax.numpy as jnp
+    e = jnp.moveaxis(e, 1, 0)                       # [S, N, D]
+    norm = jnp.linalg.norm(e, axis=2, keepdims=True) + 1e-12
+    u = e / norm
+    sim = jnp.einsum("snd,smd->snm", u, u)
+    N = sim.shape[-1]
+    eye = jnp.eye(N, dtype=sim.dtype)
+    sim = sim * (1 - eye)[None] + eye[None]
+    lo = sim.min(axis=(1, 2), keepdims=True)
+    hi = sim.max(axis=(1, 2), keepdims=True)
+    scaled = jnp.where(hi - lo < 1e-12, jnp.ones_like(sim),
+                       (sim - lo) / jnp.maximum(hi - lo, 1e-12))
+    return jnp.nan_to_num(scaled.mean(axis=0))
+
+
+def _cos_affinity_multiscale_device(emb):
+    """Scale-averaged min-max-scaled cosine affinity, mirroring
+    cos_affinity_matrix per scale, on device (f32): emb [N, S, D] ->
+    [N, N] (nan_to_num hygiene mirrors the host path: one NaN embedding
+    would otherwise zero the whole graph). Feeds the device clustering
+    chain without a host round trip."""
+    import jax
+
+    @jax.jit
+    def run(e):
+        return _affinity_core(e)
 
     return run(emb)
 

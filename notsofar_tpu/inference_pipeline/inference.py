@@ -81,6 +81,20 @@ def inference_pipeline(meetings_dir: str, models_dir: str, out_dir: str,
                           cache.asr, models_dir=models_dir)
         asr_cache = True
 
+    # Diarization prepass: all sessions' speaker-embedding windows in one
+    # shared batch (per-session clustering decisions unchanged); the main
+    # loop then reads the standard diarization cache.
+    diar_cache = cache.diarization
+    if enriched and cfg.diarization.method == "word_nmesc":
+        from notsofar_tpu.diarization.diarization import \
+            diarization_batch_prepass
+        seg_dfs = [asr_inference(out_dir, enriched[pos], cfg.asr, True,
+                                 models_dir=models_dir)
+                   for pos in my_rows if pos in enriched]
+        diarization_batch_prepass(out_dir, seg_dfs, cfg.diarization,
+                                  cache.diarization)
+        diar_cache = True
+
     wer_dfs, hyp_jsons = [], []
     for pos in my_rows:
         _LOG.info(f"Processing session: "
@@ -92,7 +106,7 @@ def inference_pipeline(meetings_dir: str, models_dir: str, out_dir: str,
         segments_df = asr_inference(out_dir, session, cfg.asr, asr_cache,
                                     models_dir=models_dir)
         attributed_segments_df = diarization_inference(
-            out_dir, segments_df, cfg.diarization, cache.diarization)
+            out_dir, segments_df, cfg.diarization, diar_cache)
 
         hyp_paths = write_hypothesis_jsons(out_dir, session,
                                            attributed_segments_df,

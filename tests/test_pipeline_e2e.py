@@ -297,3 +297,38 @@ def test_full_pipeline_real_transcriber(tmp_path):
     # with GT present the scorer always produces a (possibly >1) WER row
     assert wer_df is not None and len(wer_df) == 1
     assert np.isfinite(wer_df.tcp_wer.iloc[0])
+
+
+def test_pipeline_with_diar_prepass(tmp_path, monkeypatch):
+    """word_nmesc via the cross-session diarization prepass: the batch
+    writes every session's cache and the per-session loop hits it."""
+    meetings = tmp_path / "MTG"
+    make_meeting(meetings)
+    make_meeting(meetings, meeting_id="MTG_9002", seconds=5)
+    models_dir = tmp_path / "models"
+    make_sc_css_model(models_dir)
+
+    import notsofar_tpu.asr.inference as asr_mod
+    monkeypatch.setattr(asr_mod, "WhisperTranscriber", StubTranscriber)
+
+    from notsofar_tpu.models.titanet import SpeakerEncoder, TitaNetConfig
+    import notsofar_tpu.diarization.word_based as wb
+    tiny = SpeakerEncoder(TitaNetConfig(filters=16, epilogue_filters=32,
+                                        attention_dim=8, emb_dim=8,
+                                        block_kernels=(7,), block_repeat=1))
+    monkeypatch.setattr(wb, "resolve_speaker_encoder", lambda cfg: tiny)
+
+    cfg = InferenceCfg()
+    cfg.asr.model_name = "tiny"
+    cfg.diarization.method = "word_nmesc"
+    cfg.diarization.min_embedding_windows = [1.0, 0.5]
+    cfg.css.seg_bucket_multiple = 4
+    cfg.css.batch_sessions = 2
+
+    out_dir = tmp_path / "out"
+    wer_df = inference_pipeline(str(meetings), str(models_dir), str(out_dir),
+                                cfg, FetchFromCacheCfg())
+    for sid in ["singlechannel/MTG_9001_sc0", "singlechannel/MTG_9002_sc0"]:
+        assert (out_dir / "diarization" / sid / "word_nmesc"
+                / "all_segments_df.pkl").exists()
+    assert wer_df is not None and len(wer_df) == 2
