@@ -784,8 +784,9 @@ def find_word_timestamps(model: WhisperModel, variables,
 
 # sub-batch cap for the all-heads (no-sidecar) path: one layer's attention
 # is [B, n_head, L, 1500] f32, live a few layers deep during accumulation
-_ALIGN_MAX_BS_LAYERS = 8
-_ALIGN_MAX_BS_HEADS = 16
+# (~370 MB per layer at B=12 on large-v3 — a few layers in flight fits)
+_ALIGN_MAX_BS_LAYERS = 12
+_ALIGN_MAX_BS_HEADS = 24
 
 
 def find_word_timestamps_batch(model: WhisperModel, variables,

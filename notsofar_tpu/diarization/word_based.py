@@ -161,7 +161,8 @@ def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
         # crosses the host link. ONE dispatch per length bucket — the
         # chunk loop lives inside the jit (lax.map), because per-dispatch
         # latency over the host link dominated this stage
-        parts, w_idx, s_idx = [], [], []
+        specs, w_idx, s_idx, keep = [], [], [], []
+        offset = 0
         for blen, items in sorted(buckets.items()):
             # chunk count rounds to a power of two so the one-dispatch
             # program compiles O(log) times per bucket across sessions
@@ -177,12 +178,20 @@ def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
                 lengths[j] = min(ln, blen)
                 w_idx.append(wi)
                 s_idx.append(si)
-            parts.append(encoder.embed_windows(
-                sess_dev, chans, starts, blen, lengths,
-                inner_bs=batch_size)[:len(items)])
-        if not parts:
+            keep.extend(range(offset, offset + len(items)))
+            offset += M
+            specs.append((chans, starts, lengths, blen))
+        if not specs:
             return np.zeros((0, n_scales, D or 192), np.float32)
-        emb_all = jnp.concatenate(parts, axis=0)
+        if hasattr(encoder, "embed_windows_multi"):
+            # every bucket in ONE dispatch
+            emb_all = encoder.embed_windows_multi(
+                sess_dev, specs, inner_bs=batch_size)[np.asarray(keep)]
+        else:
+            parts = [encoder.embed_windows(sess_dev, c, s, b, ln,
+                                           inner_bs=batch_size)
+                     for c, s, ln, b in specs]
+            emb_all = jnp.concatenate(parts, axis=0)[np.asarray(keep)]
         out = jnp.zeros((len(words), n_scales, emb_all.shape[-1]),
                         jnp.float32)
         return out.at[np.asarray(w_idx), np.asarray(s_idx)].set(emb_all)

@@ -298,6 +298,40 @@ class SpeakerEncoder:
         _, emb = self.module.apply(variables, feats, frame_lengths)
         return emb
 
+    def embed_windows_multi(self, session_wavs, specs, inner_bs: int = 256):
+        """ALL length-buckets' windows in ONE dispatch.
+
+        specs: list of (chans, starts, lengths, blen) per bucket, each
+        array length a multiple of inner_bs. Returns a device array
+        [sum(len(chans)), emb_dim] in spec order. One dispatch per CALL
+        instead of per bucket — per-dispatch latency over the host link
+        is the embedding stage's floor once compute is batched."""
+        shape_key = tuple((int(b), len(c) // inner_bs) for c, _, _, b
+                          in specs)
+        cache = self._multi_cache = getattr(self, "_multi_cache", {})
+        fn = cache.get((shape_key, inner_bs, session_wavs.shape))
+        if fn is None:
+            import jax
+
+            def run(variables, sess, args):
+                outs = []
+                for (ch, s0, ln), (blen, n_chunks) in zip(args, shape_key):
+                    def one_chunk(a, _blen=blen):
+                        return self._embed_body(variables, sess, a[0],
+                                                a[1], _blen, a[2])
+                    embs = jax.lax.map(one_chunk, (
+                        ch.reshape(n_chunks, inner_bs),
+                        s0.reshape(n_chunks, inner_bs),
+                        ln.reshape(n_chunks, inner_bs)))
+                    outs.append(embs.reshape(n_chunks * inner_bs, -1))
+                return jnp.concatenate(outs, axis=0)
+            fn = jax.jit(run)
+            cache[(shape_key, inner_bs, session_wavs.shape)] = fn
+        args = tuple((jnp.asarray(c, jnp.int32), jnp.asarray(s, jnp.int32),
+                      jnp.asarray(ln, jnp.int32))
+                     for c, s, ln, _ in specs)
+        return fn(self.variables, session_wavs, args)
+
     def embed_windows(self, session_wavs, chans: np.ndarray,
                       starts: np.ndarray, blen: int,
                       lengths: np.ndarray, inner_bs: int = 256):
