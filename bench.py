@@ -125,8 +125,14 @@ if __name__ == "__main__":
     if "--css" in sys.argv:
         main(use_pallas="--pallas" in sys.argv)
     else:
-        # default: the composed-pipeline metric (the north-star number)
+        # default: the composed-pipeline metric (the north-star number).
+        # User flags pass through; the canonical scope (8 sessions x 120 s,
+        # 2 repeats) applies only where the user didn't override it.
         import bench_pipeline
-        sys.argv = [sys.argv[0], "--sessions", "8", "--seconds", "120",
-                    "--repeats", "2"]
+        argv = sys.argv[1:]
+        for flag, dflt in (("--sessions", "8"), ("--seconds", "120"),
+                           ("--repeats", "2")):
+            if flag not in argv:
+                argv += [flag, dflt]
+        sys.argv = [sys.argv[0]] + argv
         bench_pipeline.main()

@@ -563,17 +563,15 @@ class WhisperTranscriber:
             if not active:
                 break
             # fixed batch shape (inactive rows zeroed) -> one encoder
-            # compile. Windows are gathered on device, sliced to the
-            # CONTENT extent and zero-padded (whisper's pad_or_trim on the
-            # normalized mel), not filled with mel-of-padded-silence.
+            # compile. Windows are gathered on device straight out of the
+            # N_SAMPLES-padded mel, so tail windows carry mel-of-silence
+            # like whisper's transcribe slicing (models/whisper.py
+            # ::encode_windows).
             seeks = np.asarray(
                 [min(s.seek, s.content_frames) for s in streams], np.int32)
-            limits = np.asarray([s.content_frames for s in streams],
-                                np.int32)
             with timer.stage("encode"):
                 xa_full = jax.block_until_ready(self.model.encode_windows(
-                    self.variables, mels_dev, jnp.asarray(seeks),
-                    jnp.asarray(limits)))
+                    self.variables, mels_dev, jnp.asarray(seeks)))
             xa = xa_full[active, :, :] if len(active) != B else xa_full
             self._maybe_detect_language(xa[0:1])
 
@@ -750,8 +748,11 @@ class WhisperTranscriber:
                 seg["tokens"] = []
                 seg["words"] = []
         s.segments.extend(segments)
-        s.all_tokens.extend(t for seg in segments for t in seg["tokens"]
-                            if t < self.tok.eot)
+        # whisper extends all_tokens with each segment's FULL token list —
+        # timestamp tokens included — after the empty-segment clearing; the
+        # next window's condition_on_previous_text prompt is sliced from
+        # this, so filtering here would drift every multi-window decode.
+        s.all_tokens.extend(t for seg in segments for t in seg["tokens"])
         if not opt.condition_on_previous_text or temperature > 0.5:
             # do not feed the prompt tokens if a high temperature was used
             s.prompt_reset_since = len(s.all_tokens)

@@ -493,13 +493,25 @@ def _min_connected_p_device(aff, start: int, rungs: int = 48):
     hi_idx = int(np.argmax(conn))
     hi = int(coarse[hi_idx])
     lo = start if hi_idx == 0 else int(coarse[hi_idx - 1]) + 1
-    if lo >= hi:
-        return hi
-    fine = np.arange(lo, hi + 1, dtype=int)
-    if len(fine) > rungs:   # bracket wider than one rung: refine coarsely
+    # refine the bracket until it fits within one rung set, so the exact
+    # minimal connected p is returned (matching the host/NeMo +1 walk)
+    # rather than the first connected entry of a coarsened grid; each
+    # iteration shrinks the bracket ~rungs-fold -> O(log_rungs N) ladder
+    # dispatches.
+    while True:
+        if lo >= hi:
+            return hi
+        if hi - lo + 1 <= rungs:   # consecutive grid: exact answer
+            fine = np.arange(lo, hi + 1, dtype=int)
+            conn2 = _connectivity_ladder_device(aff, fine)
+            return int(fine[int(np.argmax(conn2))]) if conn2.any() else hi
         fine = np.unique(np.linspace(lo, hi, num=rungs).astype(int))
-    conn2 = _connectivity_ladder_device(aff, fine)
-    return int(fine[int(np.argmax(conn2))]) if conn2.any() else hi
+        conn2 = _connectivity_ladder_device(aff, fine)
+        if not conn2.any():
+            return hi
+        j = int(np.argmax(conn2))
+        hi = int(fine[j])
+        lo = lo if j == 0 else int(fine[j - 1]) + 1
 
 
 _CONN_JIT_CACHE: dict = {}

@@ -281,24 +281,27 @@ class WhisperModel:
         return self.encoder.apply(variables["encoder"], mel)
 
     @partial(jax.jit, static_argnums=0)
-    def encode_windows(self, variables, mels, seeks, content_limits):
+    def encode_windows(self, variables, mels, seeks):
         """Gather per-stream 30 s windows out of DEVICE-resident full-mel
         arrays and encode them — the long-form loop keeps the mels on
         device instead of round-tripping ~50 MB/session-batch through the
         host per iteration.
 
-        mels: [B, n_mels, T]; seeks/content_limits: [B] frame indices.
-        Window frames at/past each stream's content extent are zeroed
-        (whisper pad_or_trim semantics: zero-padded normalized mel, not
-        mel-of-silence)."""
+        mels: [B, n_mels, T]; seeks: [B] frame indices. The mels are
+        computed over audio padded with N_SAMPLES of zeros and the
+        dynamic-range clamp floor extends past each row's valid extent
+        (asr/mel.py::log_mel_spectrogram_batch), so final partial windows
+        carry mel-of-silence — exactly what openai-whisper's transcribe
+        sees when it slices the N_SAMPLES-padded mel (its pad_or_trim is
+        a no-op there since seek < content_frames guarantees a full
+        slice). No masking: zeros (mid-energy in normalized units) would
+        diverge from whisper for tail windows."""
         n_frames = 2 * self.dims.n_audio_ctx
 
-        def one(m, s0, lim):
-            w = jax.lax.dynamic_slice(m, (0, s0), (m.shape[0], n_frames))
-            idx = jnp.arange(n_frames)
-            return jnp.where(idx[None, :] < lim - s0, w, 0.0)
+        def one(m, s0):
+            return jax.lax.dynamic_slice(m, (0, s0), (m.shape[0], n_frames))
 
-        windows = jax.vmap(one)(mels, seeks, content_limits)
+        windows = jax.vmap(one)(mels, seeks)
         return self.encoder.apply(variables["encoder"], windows)
 
     @partial(jax.jit, static_argnums=0)

@@ -40,7 +40,10 @@ def hf_pair():
     hf = HFWhisper(cfg)
     hf.eval()
     sd = {k: v.numpy() for k, v in hf.state_dict().items()}
-    jm = WhisperModel(MINI)
+    # parity suites pin float32 explicitly: the production default
+    # (WhisperAsrCfg.compute_dtype) is bfloat16, which would mask
+    # numerics drift at these tolerances.
+    jm = WhisperModel(MINI, dtype=jnp.float32)
     variables = jax.tree_util.tree_map(
         jnp.asarray, convert_hf_whisper_state_dict(sd, MINI))
     return hf, jm, variables
