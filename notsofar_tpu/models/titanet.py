@@ -8,9 +8,10 @@ architecture follows the published TitaNet design (Koluguri et al., 2022):
     -> prologue: separable conv block (k=3)
     -> 3 mega blocks: repeated separable convs + residual + squeeze-excite
        (kernels 7/11/15, 1024 channels for the 'large' variant)
-    -> epilogue separable conv (k=1, 3072 channels)
-    -> attentive statistics pooling (mean||std with learned attention)
-    -> bottleneck linear -> 192-d embedding.
+    -> epilogue separable conv block (k=1, 3072 channels)
+    -> ECAPA-style attentive statistics pooling with global context
+       (attention input [x ; mean ; std])
+    -> bottleneck linear + BN -> 192-d embedding.
 
 A NeMo-checkpoint converter maps the torch state dict onto this tree; with
 no checkpoint available the randomly initialized model keeps the
@@ -39,24 +40,42 @@ class TitaNetConfig:
     attention_dim: int = 128
     emb_dim: int = 192
     dropout: float = 0.0
+    # squeeze-excite presence per block: NeMo builds the encoder from the
+    # checkpoint's jasper config (titanet-large ships se=true on every
+    # block, prologue and epilogue included), so the converter AUTO-DETECTS
+    # presence from the state dict (titanet_convert.detect_titanet_config)
+    # rather than hard-coding one composition.
+    prologue_se: bool = True
+    epilogue_se: bool = True
 
 
 def titanet_features(audio: jnp.ndarray, sr: int = 16000,
                      n_mels: int = 80,
-                     lengths: jnp.ndarray = None) -> jnp.ndarray:
+                     lengths: jnp.ndarray = None,
+                     preemph: float = 0.97,
+                     pad_to: int = 16) -> jnp.ndarray:
     """[B, T] waveform -> [B, n_mels, frames] normalized log-mel.
 
-    NeMo AudioToMelSpectrogramPreprocessor semantics: 25 ms window / 10 ms
-    hop, 512-point FFT, slaney mel, log, then per-feature (per mel bin)
-    mean/variance normalization over time. When `lengths` (valid samples
-    per batch row) is given, the normalization statistics use only the
-    valid frames — NeMo normalizes over seq_len, not the padded extent, so
-    without this the same audio yields different embeddings depending on
-    how far the batch bucketing zero-pads it. NeMo's per_feature std is
-    the unbiased (N-1) estimator (torch .std default).
+    NeMo AudioToMelSpectrogramPreprocessor semantics: preemphasis 0.97,
+    25 ms window / 10 ms hop, 512-point FFT (400-tap symmetric hann,
+    zero-centered in the 512 frame — same support as our 200-sample
+    reflect pad), slaney mel, log(x + 2^-24), then per-feature (per mel
+    bin) mean/variance normalization over time. When `lengths` (valid
+    samples per batch row) is given, the normalization statistics use only
+    the valid frames — NeMo normalizes over seq_len, not the padded
+    extent — and padded frames are then zero-filled (NeMo masked_fill
+    with pad_value=0). Finally frames are right-padded to a multiple of
+    `pad_to` (NeMo pad_to=16), which feeds the squeeze-excite padded-width
+    denominator downstream. NeMo's per_feature std is the unbiased (N-1)
+    estimator (torch .std default). No dither: NeMo applies it only in
+    training mode.
     """
     from notsofar_tpu.asr.mel import mel_filterbank
     win, hop, nfft = 400, 160, 512
+    if preemph:
+        audio = jnp.concatenate(
+            [audio[..., :1], audio[..., 1:] - preemph * audio[..., :-1]],
+            axis=-1)
     n = np.arange(win)
     w = 0.5 * (1 - np.cos(2 * np.pi * n / (win - 1)))  # symmetric hann
     f = np.arange(nfft // 2 + 1)
@@ -82,16 +101,21 @@ def titanet_features(audio: jnp.ndarray, sr: int = 16000,
         mean = logmel.mean(axis=-1, keepdims=True)
         n = logmel.shape[-1]
         var = logmel.var(axis=-1, keepdims=True) * (n / max(n - 1, 1))
-        return (logmel - mean) / (jnp.sqrt(var) + 1e-5)
-    frame_lengths = lengths // hop + 1
-    Tf = logmel.shape[-1]
-    m = (jnp.arange(Tf)[None, :] < frame_lengths[:, None])
-    m = m[:, None, :].astype(logmel.dtype)            # [B, 1, Tf]
-    denom = jnp.maximum(m.sum(axis=-1, keepdims=True), 1.0)
-    mean = (logmel * m).sum(axis=-1, keepdims=True) / denom
-    var = (jnp.square(logmel - mean) * m).sum(axis=-1, keepdims=True) \
-        / jnp.maximum(denom - 1.0, 1.0)
-    return (logmel - mean) / (jnp.sqrt(var) + 1e-5)
+        out = (logmel - mean) / (jnp.sqrt(var) + 1e-5)
+    else:
+        frame_lengths = lengths // hop + 1
+        Tf = logmel.shape[-1]
+        m = (jnp.arange(Tf)[None, :] < frame_lengths[:, None])
+        m = m[:, None, :].astype(logmel.dtype)            # [B, 1, Tf]
+        denom = jnp.maximum(m.sum(axis=-1, keepdims=True), 1.0)
+        mean = (logmel * m).sum(axis=-1, keepdims=True) / denom
+        var = (jnp.square(logmel - mean) * m).sum(axis=-1, keepdims=True) \
+            / jnp.maximum(denom - 1.0, 1.0)
+        out = (logmel - mean) / (jnp.sqrt(var) + 1e-5) * m
+    if pad_to and out.shape[-1] % pad_to:
+        extra = pad_to - out.shape[-1] % pad_to
+        out = jnp.pad(out, [(0, 0)] * (out.ndim - 1) + [(0, extra)])
+    return out
 
 
 class SeparableConv(nn.Module):
@@ -117,37 +141,54 @@ class SqueezeExcite(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask):
-        """x: [B, T, C]; mask: [B, T, 1] valid-frame mask."""
-        denom = jnp.maximum(mask.sum(axis=1, keepdims=True), 1.0)
-        s = (x * mask).sum(axis=1, keepdims=True) / denom  # [B,1,C]
+        """x: [B, T, C]; mask: [B, T, 1] valid-frame mask.
+
+        NeMo jasper.SqueezeExcite with context_window=-1: "Masked Average
+        over value + padding" — the sum runs over valid frames but the
+        denominator is the PADDED width x.shape[-1] (a deliberate NeMo
+        export-compat choice), so the gate depends on how far the batch
+        is padded; callers keep bucket widths equal to NeMo's
+        pad-to-16 frame counts for parity. Two BIAS-FREE linears (ReLU
+        between), sigmoid gate."""
+        s = (x * mask).sum(axis=1, keepdims=True) / x.shape[1]  # [B,1,C]
         C = x.shape[-1]
-        s = nn.Dense(C // self.reduction, dtype=self.dtype, name="fc1")(s)
+        s = nn.Dense(C // self.reduction, use_bias=False, dtype=self.dtype,
+                     name="fc1")(s)
         s = nn.relu(s)
-        s = nn.Dense(C, dtype=self.dtype, name="fc2")(s)
+        s = nn.Dense(C, use_bias=False, dtype=self.dtype, name="fc2")(s)
         return x * jax.nn.sigmoid(s)
 
 
 class TitaNetBlock(nn.Module):
+    """One JasperBlock: `repeat` separable convs (BN + ReLU between), then
+    squeeze-excite, then the 1x1-conv residual add, then ReLU — SE sits
+    INSIDE mconv before the residual join (NeMo jasper.py JasperBlock
+    composition)."""
     cfg: TitaNetConfig
     kernel: int
     repeat: int
     residual: bool
+    filters: int = 0          # 0 -> cfg.filters
+    use_se: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, mask, train: bool = False):
+        filters = self.filters or self.cfg.filters
         inp = x
         for r in range(self.repeat):
-            x = SeparableConv(self.cfg.filters, self.kernel, self.dtype,
+            x = SeparableConv(filters, self.kernel, self.dtype,
                               name=f"conv_{r}")(x * mask)
             x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                              epsilon=1e-3, name=f"bn_{r}")(x)
             if r < self.repeat - 1:
                 x = nn.relu(x)
-        x = SqueezeExcite(self.cfg.se_reduction, self.dtype, name="se")(x, mask)
+        if self.use_se:
+            x = SqueezeExcite(self.cfg.se_reduction, self.dtype,
+                              name="se")(x, mask)
         if self.residual:
-            res = nn.Conv(self.cfg.filters, kernel_size=(1,), use_bias=False,
-                          dtype=self.dtype, name="res_pw")(inp)
+            res = nn.Conv(filters, kernel_size=(1,), use_bias=False,
+                          dtype=self.dtype, name="res_pw")(inp * mask)
             res = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                epsilon=1e-3, name="res_bn")(res)
             x = x + res
@@ -155,23 +196,43 @@ class TitaNetBlock(nn.Module):
 
 
 class AttentiveStatsPooling(nn.Module):
+    """ECAPA-style attentive statistics pooling with GLOBAL CONTEXT.
+
+    NeMo tdnn_attention.AttentivePoolLayer: the attention net sees
+    [x ; masked-mean(x) ; masked-std(x)] (3C channels), passes through a
+    TDNN module (1x1 conv + ReLU + BatchNorm eps 1e-5), tanh, then a 1x1
+    conv back to C channels; masked softmax over time yields per-frame
+    weights alpha, and the output is [weighted-mean ; weighted-std] with
+    the variance clamped at 1e-10 (get_statistics_with_mask)."""
     attention_dim: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x, mask):
-        """x: [B, T, C] -> [B, 2C] attentively weighted mean || std."""
+    def __call__(self, x, mask, train: bool = False):
+        """x: [B, T, C]; mask: [B, T, 1] -> [B, 2C]."""
+        xf = x.astype(jnp.float32)
+        m = mask.astype(jnp.float32)
+        w = m / jnp.maximum(m.sum(axis=1, keepdims=True), 1e-10)
+        mean = (w * xf).sum(axis=1, keepdims=True)                # [B,1,C]
+        std = jnp.sqrt(jnp.clip(
+            (w * jnp.square(xf - mean)).sum(axis=1, keepdims=True), 1e-10))
+        gc = jnp.concatenate(
+            [x, jnp.broadcast_to(mean, x.shape).astype(x.dtype),
+             jnp.broadcast_to(std, x.shape).astype(x.dtype)], axis=-1)
         h = nn.Conv(self.attention_dim, kernel_size=(1,), dtype=self.dtype,
-                    name="att1")(x)
+                    name="att1")(gc)
+        h = nn.relu(h)
+        h = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         epsilon=1e-5, name="att_bn")(h)
         h = jnp.tanh(h)
         logits = nn.Conv(x.shape[-1], kernel_size=(1,), dtype=self.dtype,
                          name="att2")(h)
-        logits = jnp.where(mask > 0, logits, -1e30)
+        logits = jnp.where(mask > 0, logits.astype(jnp.float32), -jnp.inf)
         alpha = jax.nn.softmax(logits, axis=1)
-        mean = (alpha * x).sum(axis=1)
-        var = (alpha * x * x).sum(axis=1) - mean ** 2
-        std = jnp.sqrt(jnp.clip(var, 1e-8))
-        return jnp.concatenate([mean, std], axis=-1)
+        mu = (alpha * xf).sum(axis=1)
+        sg = jnp.sqrt(jnp.clip(
+            (alpha * jnp.square(xf - mu[:, None])).sum(axis=1), 1e-10))
+        return jnp.concatenate([mu, sg], axis=-1)
 
 
 class TitaNet(nn.Module):
@@ -188,23 +249,24 @@ class TitaNet(nn.Module):
         mask = (jnp.arange(T)[None, :] < lengths[:, None])[..., None]
         mask = mask.astype(x.dtype)
         x = TitaNetBlock(c, c.prologue_kernel, 1, residual=False,
-                         dtype=self.dtype, name="prologue")(x, mask, train)
+                         use_se=c.prologue_se, dtype=self.dtype,
+                         name="prologue")(x, mask, train)
         for bi, k in enumerate(c.block_kernels):
             x = TitaNetBlock(c, k, c.block_repeat, residual=True,
                              dtype=self.dtype, name=f"block_{bi}")(x, mask, train)
-        x = SeparableConv(c.epilogue_filters, 1, self.dtype, name="epilogue")(
-            x * mask)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                         epsilon=1e-3, name="epilogue_bn")(x)
-        x = nn.relu(x)
+        # epilogue: one more JasperBlock (kernel 1, 3072 ch, no residual,
+        # se per config) — NeMo's last jasper entry, ending in ReLU.
+        x = TitaNetBlock(c, 1, 1, residual=False,
+                         filters=c.epilogue_filters, use_se=c.epilogue_se,
+                         dtype=self.dtype, name="epilogue")(x, mask, train)
         stats = AttentiveStatsPooling(c.attention_dim, self.dtype,
-                                      name="pool")(x, mask)
-        stats = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                             epsilon=1e-3, name="stats_bn")(stats[:, None])[:, 0]
-        emb = nn.Dense(c.emb_dim, use_bias=False, dtype=self.dtype,
-                       name="emb")(stats)
+                                      name="pool")(x, mask, train)
+        # SpeakerDecoder bottleneck: Linear (with bias) + BatchNorm1d
+        # (torch-default eps 1e-5) — emb_layers.0 in the NeMo state dict.
+        emb = nn.Dense(c.emb_dim, dtype=self.dtype, name="emb")(
+            stats.astype(self.dtype))
         emb = nn.BatchNorm(use_running_average=not train, momentum=0.9,
-                           epsilon=1e-3, name="emb_bn")(emb[:, None])[:, 0]
+                           epsilon=1e-5, name="emb_bn")(emb[:, None])[:, 0]
         return emb, emb
 
 

@@ -55,6 +55,14 @@ def _pw(w):  # torch pointwise conv [C2, C, 1] -> flax (1, C, C2)
     return np.ascontiguousarray(np.asarray(w).transpose(2, 1, 0))
 
 
+def _natural(k: str):
+    """Sort key treating embedded integers numerically — NeMo mconv
+    indices reach two digits (repeat 3 separable + act/dropout gaps ->
+    mconv.10/.11/.12), where plain lexicographic order would interleave
+    'mconv.10' before 'mconv.2' and silently swap conv weights."""
+    return [int(t) if t.isdigit() else t for t in re.split(r"(\d+)", k)]
+
+
 def _group_encoder_blocks(sd: Dict[str, np.ndarray]) -> Dict[int, Dict]:
     blocks = defaultdict(dict)
     for k, v in sd.items():
@@ -66,35 +74,39 @@ def _group_encoder_blocks(sd: Dict[str, np.ndarray]) -> Dict[int, Dict]:
 
 def _convert_block(raw: Dict[str, np.ndarray], repeat: int) -> Tuple[Dict, Dict]:
     """One JasperBlock -> (params, batch_stats) for TitaNetBlock."""
-    # classify weights by shape, in key order
+    # classify weights by shape, in natural key order (mconv.2 < mconv.10)
     dw, pw = [], []
     bn_scale, bn_bias, bn_mean, bn_var = [], [], [], []
     se_fc = []
     res_pw = None
     res_bn: Dict[str, np.ndarray] = {}
-    for k in sorted(raw):
+    for k in sorted(raw, key=_natural):
         v = np.asarray(raw[k])
         is_res = ".res" in k or k.startswith("res")
         if v.ndim == 3:
             if is_res:
                 res_pw = _pw(v)
-            elif v.shape[1] == 1:      # depthwise: [C, in_per_group=1, k]
-                dw.append(_dw(v))
+            elif v.shape[1] == 1 and v.shape[0] != 1:
+                dw.append(_dw(v))      # depthwise: [C, in_per_group=1, k]
             elif v.shape[2] == 1:      # pointwise: [C_out, C_in, 1]
                 pw.append(_pw(v))
-        elif "fc" in k and v.ndim == 2:
-            se_fc.append((k, v))
-        elif "fc" in k and v.ndim == 1 and k.endswith(".bias"):
-            se_fc.append((k, v))  # biases ride along; paired by name below
+        elif ".fc." in k and v.ndim == 2:
+            se_fc.append(v)            # NeMo SE linears are bias-free
         elif k.endswith("running_mean"):
             res_bn.__setitem__("mean", v) if is_res else bn_mean.append(v)
         elif k.endswith("running_var"):
             res_bn.__setitem__("var", v) if is_res else bn_var.append(v)
         elif k.endswith(".weight") and v.ndim == 1:
             res_bn.__setitem__("scale", v) if is_res else bn_scale.append(v)
-        elif k.endswith(".bias") and v.ndim == 1 and "fc" not in k:
+        elif k.endswith(".bias") and v.ndim == 1 and ".fc." not in k:
             res_bn.__setitem__("bias", v) if is_res else bn_bias.append(v)
 
+    if len(dw) == 0 and len(pw) == repeat:
+        # non-separable variant (plain convs classified as pointwise when
+        # kernel==1); synthesize identity depthwise kernels
+        for w in pw:
+            C_in = w.shape[1]
+            dw.append(np.ones((1, 1, C_in), np.float32))
     assert len(dw) == len(pw) == repeat, \
         f"expected {repeat} separable convs, found dw={len(dw)} pw={len(pw)}"
     assert len(bn_scale) >= repeat, "missing batch norms"
@@ -106,17 +118,11 @@ def _convert_block(raw: Dict[str, np.ndarray], repeat: int) -> Tuple[Dict, Dict]
         params[f"bn_{r}"] = {"scale": bn_scale[r], "bias": bn_bias[r]}
         stats[f"bn_{r}"] = {"mean": bn_mean[r], "var": bn_var[r]}
     if se_fc:
-        weights = sorted([kv for kv in se_fc if kv[1].ndim == 2],
-                         key=lambda kv: kv[0])
-        biases = {k.rsplit(".", 1)[0]: v for k, v in se_fc if v.ndim == 1}
-        (k1, w1), (k2, w2) = weights[0], weights[-1]
-        params["se"] = {
-            "fc1": {"kernel": _t_lin(w1),
-                    "bias": biases.get(k1.rsplit(".", 1)[0],
-                                       np.zeros(w1.shape[0], np.float32))},
-            "fc2": {"kernel": _t_lin(w2),
-                    "bias": biases.get(k2.rsplit(".", 1)[0],
-                                       np.zeros(w2.shape[0], np.float32))}}
+        assert len(se_fc) == 2, f"expected 2 SE linears, got {len(se_fc)}"
+        w1, w2 = (se_fc if se_fc[0].shape[0] < se_fc[0].shape[1]
+                  else se_fc[::-1])   # squeeze first: [C/r, C]
+        params["se"] = {"fc1": {"kernel": _t_lin(w1)},
+                        "fc2": {"kernel": _t_lin(w2)}}
     if res_pw is not None:
         params["res_pw"] = {"kernel": res_pw}
         params["res_bn"] = {"scale": res_bn["scale"], "bias": res_bn["bias"]}
@@ -144,52 +150,96 @@ def convert_nemo_titanet(sd: Dict[str, np.ndarray],
     for bi in range(len(cfg.block_kernels)):
         p, s = _convert_block(blocks[1 + bi], repeat=cfg.block_repeat)
         params[f"block_{bi}"], stats[f"block_{bi}"] = p, s
-    # epilogue block: single separable conv + bn
+    # epilogue: one more JasperBlock (kernel 1, no residual)
     p, s = _convert_block(blocks[n_blocks - 1], repeat=1)
-    params["epilogue"] = p["conv_0"]
-    params["epilogue_bn"] = p["bn_0"]
-    stats["epilogue_bn"] = s["bn_0"]
+    params["epilogue"], stats["epilogue"] = p, s
 
-    # decoder: attentive pooling + bottleneck
-    def find(pattern, nd=None):
-        out = [(k, np.asarray(v)) for k, v in sd.items()
-               if re.search(pattern, k) and (nd is None or v.ndim == nd)]
-        return sorted(out, key=lambda kv: kv[0])
+    # decoder: ECAPA attentive pooling (global context) + bottleneck.
+    # Routed by SHAPE, not key names (NeMo module paths shift across
+    # versions): the context conv eats 3*C_epi channels, the score conv
+    # eats attention_dim; the TDNN batch-norm is attention_dim wide, the
+    # embedding batch-norm emb_dim wide; the bottleneck linear is the 2-d
+    # decoder weight with 2*C_epi inputs (which also excludes the
+    # classification head `decoder.final` [n_classes, emb_dim]).
+    dec3 = sorted(((k, np.asarray(v)) for k, v in sd.items()
+                   if k.startswith("decoder") and v.ndim == 3),
+                  key=lambda kv: _natural(kv[0]))
+    att1 = [v for k, v in dec3 if v.shape[1] == 3 * cfg.epilogue_filters]
+    att2 = [v for k, v in dec3 if v.shape[1] == cfg.attention_dim
+            and v.shape[0] == cfg.epilogue_filters]
+    assert len(att1) == 1 and len(att2) == 1, \
+        f"attention convs not found by shape: {[(k, v.shape) for k, v in dec3]}"
 
-    att = find(r"decoder.*attention", nd=3)
-    assert len(att) >= 2, f"attention convs not found: {[k for k,_ in att]}"
-    a1, a2 = att[0][1], att[-1][1]
-    att_b = find(r"decoder.*attention", nd=1)
+    # biases: pair by the conv's own key prefix
+    def sibling_bias(weight_key):
+        bk = weight_key[: -len(".weight")] + ".bias"
+        return np.asarray(sd[bk]) if bk in sd else None
+
+    att1_k = next(k for k, v in dec3 if v is att1[0])
+    att2_k = next(k for k, v in dec3 if v is att2[0])
+    b1 = sibling_bias(att1_k)
+    b2 = sibling_bias(att2_k)
     params["pool"] = {
-        "att1": {"kernel": _pw(a1),
-                 "bias": att_b[0][1] if att_b else np.zeros(a1.shape[0])},
-        "att2": {"kernel": _pw(a2),
-                 "bias": att_b[-1][1] if att_b else np.zeros(a2.shape[0])},
+        "att1": {"kernel": _pw(att1[0]),
+                 "bias": b1 if b1 is not None
+                 else np.zeros(att1[0].shape[0], np.float32)},
+        "att2": {"kernel": _pw(att2[0]),
+                 "bias": b2 if b2 is not None
+                 else np.zeros(att2[0].shape[0], np.float32)},
     }
-    emb = find(r"decoder.*(emb|final)", nd=2)
-    assert emb, "decoder embedding linear not found"
-    emb_w = emb[0][1]
-    params["emb"] = {"kernel": _t_lin(emb_w)}
-    # stats-bn / emb-bn: dimension-driven — decoder batch-norms are
-    # recognized by their running-stat siblings and routed by width
-    # (2*epilogue channels -> stats pooling BN; emb width -> embedding BN).
+    emb_ws = [(k, np.asarray(v)) for k, v in sd.items()
+              if k.startswith("decoder") and np.asarray(v).ndim == 2
+              and np.asarray(v).shape[1] == 2 * cfg.epilogue_filters]
+    assert len(emb_ws) == 1, \
+        f"decoder embedding linear not found: {[(k, v.shape) for k, v in emb_ws]}"
+    emb_k, emb_w = emb_ws[0]
+    emb_b = sibling_bias(emb_k)
+    params["emb"] = {"kernel": _t_lin(emb_w),
+                     "bias": emb_b if emb_b is not None
+                     else np.zeros(emb_w.shape[0], np.float32)}
+    # decoder batch-norms routed by width: attention_dim -> pool TDNN BN,
+    # emb_dim -> embedding BN. Identity when a checkpoint lacks one.
     decoder_bns = {}
     for k in sd:
         if k.startswith("decoder") and k.endswith("running_mean"):
-            prefix = k[:-len(".running_mean")]
-            dim = int(np.asarray(sd[k]).shape[0])
-            decoder_bns[dim] = prefix
-    for name, dim in [("stats_bn", cfg.epilogue_filters * 2),
-                      ("emb_bn", cfg.emb_dim)]:
+            prefix = k[: -len(".running_mean")]
+            decoder_bns[int(np.asarray(sd[k]).shape[0])] = prefix
+    assert cfg.attention_dim != cfg.emb_dim, \
+        "width-driven BN routing needs distinct attention/emb dims"
+    for name, dim in [("att_bn", cfg.attention_dim), ("emb_bn", cfg.emb_dim)]:
         prefix = decoder_bns.get(dim)
+        dst_p = params["pool"] if name == "att_bn" else params
+        dst_s = stats.setdefault("pool", {}) if name == "att_bn" else stats
         if prefix is not None:
-            params[name] = {"scale": np.asarray(sd[prefix + ".weight"]),
-                            "bias": np.asarray(sd[prefix + ".bias"])}
-            stats[name] = {"mean": np.asarray(sd[prefix + ".running_mean"]),
+            # affine is optional: angular-trained checkpoints (titanet_large)
+            # build the emb BatchNorm1d with affine=False (learn_mean=not
+            # angular in NeMo SpeakerDecoder.affine_layer)
+            w, b = sd.get(prefix + ".weight"), sd.get(prefix + ".bias")
+            dst_p[name] = {"scale": np.asarray(w) if w is not None
+                           else np.ones(dim, np.float32),
+                           "bias": np.asarray(b) if b is not None
+                           else np.zeros(dim, np.float32)}
+            dst_s[name] = {"mean": np.asarray(sd[prefix + ".running_mean"]),
                            "var": np.asarray(sd[prefix + ".running_var"])}
         else:  # identity when the checkpoint has no such BN
-            params[name] = {"scale": np.ones(dim, np.float32),
-                            "bias": np.zeros(dim, np.float32)}
-            stats[name] = {"mean": np.zeros(dim, np.float32),
+            dst_p[name] = {"scale": np.ones(dim, np.float32),
+                           "bias": np.zeros(dim, np.float32)}
+            dst_s[name] = {"mean": np.zeros(dim, np.float32),
                            "var": np.ones(dim, np.float32)}
     return {"params": params, "batch_stats": stats}
+
+
+def detect_titanet_config(sd: Dict[str, np.ndarray],
+                          base: TitaNetConfig = TitaNetConfig()
+                          ) -> TitaNetConfig:
+    """Auto-detect per-block squeeze-excite presence (and sanity-check the
+    channel plan) from a NeMo state dict, so checkpoints built from jasper
+    configs with se toggled per block convert without hand-editing."""
+    from dataclasses import replace
+    blocks = _group_encoder_blocks(sd)
+    if not blocks:
+        return base
+    n = len(blocks)
+    has_se = {i: any(".fc." in k for k in blocks[i]) for i in blocks}
+    return replace(base, prologue_se=has_se.get(0, base.prologue_se),
+                   epilogue_se=has_se.get(n - 1, base.epilogue_se))
