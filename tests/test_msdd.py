@@ -133,3 +133,16 @@ def test_converter_msdd_prefix_and_nemo_tar(tmp_path):
     p = dec.refine(rng.randn(1, 4, 3, 16).astype(np.float32),
                    rng.randn(1, 3, 16, 2).astype(np.float32))
     assert p.shape == (1, 4, 2)
+
+
+def test_torch_oracle_parity():
+    """Converted-JAX vs torch-native MSDD forward (torch's own nn.LSTM):
+    <1e-4 — validates the converter's gate-order split, bias folding,
+    conv kernel layout, and the flax bidirectional-stack reading."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.torch_msdd_oracle import run_parity
+    for seed in (0, 5):
+        err = run_parity(seed=seed, verbose=False)
+        assert err < 1e-4, (seed, err)
