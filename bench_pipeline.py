@@ -60,12 +60,20 @@ class BenchDecoder:
         self.inner = inner
         self.template = template
         inner._eot = inner.model.dims.n_vocab + 1   # never latches -> fixed steps
+        self.rows = 0        # decode rows (row x step amortizes weights)
+        self.chunks = 0      # dispatches (each step reads all weights once)
+
+    def _count(self, B):
+        cap = max(self.inner.opt.max_rows_per_dispatch, 1)
+        self.rows += B
+        self.chunks += -(-B // cap)
 
     def decode(self, variables, xa, prompt=None, **kw):
         import jax
         res = self.inner.decode(variables, xa, prompt, **kw)
         jax.block_until_ready(res["no_speech_prob"])
         B = xa.shape[0]
+        self._count(B)
         return dict(tokens=[list(self.template) for _ in range(B)],
                     avg_logprob=np.full(B, -0.3),
                     no_speech_prob=np.zeros(B))
@@ -75,6 +83,7 @@ class BenchDecoder:
         res = self.inner.decode_prompted(variables, xa, prompts, **kw)
         jax.block_until_ready(res["no_speech_prob"])
         B = xa.shape[0]
+        self._count(B)
         return dict(tokens=[list(self.template) for _ in range(B)],
                     avg_logprob=np.full(B, -0.3),
                     no_speech_prob=np.zeros(B))
@@ -86,6 +95,12 @@ def main():
     ap.add_argument("--seconds", type=float, default=120.0)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--asr-model", default="large-v3")
+    ap.add_argument("--asr-dtype", default="int8",
+                    choices=["bfloat16", "int8"],
+                    help="ASR weight storage: int8 (default) quantizes the "
+                    "decoder matrices weight-only (the serving config; "
+                    "decode is weight-read-bound), bfloat16 for the "
+                    "unquantized number")
     ap.add_argument("--decode-steps", type=int, default=80)
     ap.add_argument("--parity-asr", action="store_true",
                     help="reference decode recipe: beam-5 + "
@@ -129,15 +144,21 @@ def main():
         dtype=cdtype)
     engine = CssEngine(cmodel, cmodel.init(jax.random.PRNGKey(0)), css_cfg)
 
-    # ---- ASR (large-v3 dims, bf16, lockstep batch) -----------------------
+    # ---- ASR (large-v3 dims, bf16 compute, lockstep batch) ---------------
     dims = WHISPER_DIMS[args.asr_model]
-    wmodel = WhisperModel(dims, dtype=jnp.bfloat16)
+    quant = args.asr_dtype == "int8"
+    wmodel = WhisperModel(dims, dtype=jnp.bfloat16, quant_decoder=quant)
     # bf16 weights: same serving configuration real checkpoints load into
-    # (f32 large-v3 params alone are ~6 GB of HBM)
+    # (f32 large-v3 params alone are ~6 GB of HBM); int8 additionally
+    # quantizes the decoder matrices weight-only (decode is bound by
+    # weight reads)
     wvars = jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        wmodel.init(jax.random.PRNGKey(1)))
+        WhisperModel(dims, dtype=jnp.bfloat16).init(jax.random.PRNGKey(1)))
+    if quant:
+        from notsofar_tpu.models.whisper import quantize_whisper_decoder
+        wvars = quantize_whisper_decoder(wvars)
     tok = load_tokenizer(args.asr_model, dims.n_vocab)
     common = dict(
         word_timestamps=True,
@@ -194,8 +215,10 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
-    def run(tag):
-        stage_t = {}
+    words_per_sec = 2.4
+
+    def run(tag, stage_out=None):
+        stage_t = stage_out if stage_out is not None else {}
         t0 = time.time()
         # device-resident handoff: the separated int16 streams stay on the
         # chip for ASR mel + diar embedding windows; the host only gets
@@ -226,7 +249,6 @@ def main():
         # per-word compute is identical to real serving. `results` is only
         # sanity-checked — its DTW cost was paid in the ASR stage above.
         assert all("segments" in r for r in results)
-        words_per_sec = 2.4
         sessions = []
         for si in range(B):
             wav_files = []
@@ -281,12 +303,51 @@ def main():
     print(f"warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
     best = 0.0
+    best_stages = None
     for i in range(args.repeats):
-        rtfx = run(f"run{i}")
+        transcriber.decoder.rows = transcriber.decoder.chunks = 0
+        stage_t0 = dict()
+        rtfx = run(f"run{i}", stage_out=stage_t0)
+        if rtfx >= best:
+            best_stages = dict(stage_t0)
+            best_stages["_dec_rows"] = transcriber.decoder.rows
+            best_stages["_dec_chunks"] = transcriber.decoder.chunks
         if i >= 1 and min(rtfx, best) > 0.95 * max(rtfx, best):
             best = max(best, rtfx)
             break
         best = max(best, rtfx)
+
+    # ---- analytic FLOP / HBM accounting (VERDICT r2 item 6) --------------
+    # which resource bounds each stage: achieved FLOP/s vs peak (MFU) and,
+    # for the weight-read-bound decode, achieved HBM GB/s.
+    from notsofar_tpu.utils import flops as FL
+    peaks = FL.device_peaks()
+    st = best_stages or {}
+    n_win_css = int(np.ceil(secs / 1.5)) * B
+    css = FL.StageCost("css", n_win_css * FL.conformer_css_flops(188),
+                       st.get("css", 0.0))
+    n_win_asr = int(np.ceil(secs / 30.0)) * 3 * B
+    steps = args.decode_steps
+    beam_rows = 5 if args.parity_asr else 1
+    asr_flops = (n_win_asr * FL.whisper_encoder_flops(dims)
+                 + st.get("_dec_rows", n_win_asr) * beam_rows * steps
+                 * FL.whisper_decode_step_flops(dims, 1)
+                 + n_win_asr * FL.whisper_alignment_flops(dims, 128))
+    asr_bytes = (st.get("_dec_chunks", 0) * steps
+                 * FL.whisper_decode_step_bytes(
+                     dims, dtype_bytes=1 if quant else 2))
+    asr = FL.StageCost("asr", asr_flops, st.get("asr", 0.0), asr_bytes)
+    n_words_total = B * 3 * int(secs * words_per_sec)
+    scale_frames = [(-(-int((int(np.ceil(s * fs / 8192)) * 8192)
+                            / 160 + 1) // 16)) * 16
+                    for s in diar_cfg.min_embedding_windows]
+    diar_flops = n_words_total * sum(FL.titanet_flops(f)
+                                     for f in scale_frames)
+    diar = FL.StageCost("diar", diar_flops, st.get("diar", 0.0))
+    mfu = {c.name: c.report(peaks) for c in (css, asr, diar)}
+    print(f"peaks: {peaks}", file=sys.stderr)
+    for c in (css, asr, diar):
+        print(f"mfu[{c.name}]: {c.report(peaks)}", file=sys.stderr)
 
     print(json.dumps({
         "metric": "pipeline_mc_rtfx", "value": round(best, 2),
@@ -294,6 +355,8 @@ def main():
         "asr_model": args.asr_model,
         "asr_mode": "beam5_conditioned" if args.parity_asr
         else "lockstep_greedy",
+        "asr_weights": args.asr_dtype,
+        "mfu": mfu,
         "vs_baseline": round(best / 50.0, 3)}))
 
 

@@ -101,7 +101,11 @@ def load_whisper_model(model_name: str, models_dir: Optional[str] = None,
     bf16 — the TPU analogue of the fp16=True default the reference
     inherits from openai-whisper on GPU (asr/asr.py:74); f32 weights for
     large-v3 alone are ~6 GB of HBM and 4x slower on the v5e MXU. Pass
-    'float32' for strict-parity runs."""
+    'float32' for strict-parity runs. 'int8' keeps bf16 compute but stores
+    the DECODER matrices weight-only int8 (models/whisper.py::QuantDense)
+    — incremental decode is weight-read-bound, so this roughly halves the
+    decode stage; greedy tokens agree with bf16 on >99.9% of steps
+    (tests/test_whisper.py::test_int8_decoder)."""
     key = f"{models_dir}/{model_name}/{compute_dtype}"
     if key in _MODEL_CACHE:
         return _MODEL_CACHE[key]
@@ -113,12 +117,14 @@ def load_whisper_model(model_name: str, models_dir: Optional[str] = None,
                 ckpt = cand
                 break
     import jax.numpy as jnp
-    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[compute_dtype]
+    quant = compute_dtype == "int8"
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "int8": jnp.bfloat16}[compute_dtype]
     alignment_heads = None
     if ckpt is not None:
         _LOG.info(f"Loading Whisper checkpoint: {ckpt}")
         variables, dims = load_openai_whisper_checkpoint(ckpt)
-        model = WhisperModel(dims, dtype=dtype)
+        model = WhisperModel(dims, dtype=dtype, quant_decoder=quant)
         variables = jax.tree_util.tree_map(np.asarray, variables)
         alignment_heads = _load_alignment_heads(ckpt, dims)
     else:
@@ -127,13 +133,20 @@ def load_whisper_model(model_name: str, models_dir: Optional[str] = None,
             f"No Whisper checkpoint found for '{model_name}' under "
             f"{models_dir} — using RANDOM weights (pipeline smoke mode; "
             "transcripts are meaningless)")
-        model = WhisperModel(dims, dtype=dtype)
-        variables = model.init(jax.random.PRNGKey(0))
+        model = WhisperModel(dims, dtype=dtype, quant_decoder=quant)
+        variables = WhisperModel(dims, dtype=dtype).init(
+            jax.random.PRNGKey(0))
     if dtype == jnp.bfloat16:
         variables = jax.tree_util.tree_map(
             lambda x: x.astype(jnp.bfloat16)
             if hasattr(x, "dtype") and x.dtype == np.float32 else x,
             variables)
+    if quant:
+        # quantize AFTER the bf16 cast: bf16 storage is the serving
+        # baseline the int8 path approximates, and the per-channel scales
+        # come out float32 (QuantDense keeps them f32 for exact dequant)
+        from notsofar_tpu.models.whisper import quantize_whisper_decoder
+        variables = quantize_whisper_decoder(variables)
     tokenizer = load_tokenizer(model_name, dims.n_vocab,
                                vocab_path=vocab_path, language=language)
     _MODEL_CACHE[key] = (model, variables, tokenizer, alignment_heads)

@@ -185,7 +185,7 @@ _SUBSPACE_ITERS = 150
 _POWER_ITERS = 80
 
 
-def _filtered_smallest(lap, alpha, x0, inner: int = 16, outer: int = 40):
+def _filtered_smallest(lap, alpha, x0, inner: int = 4, outer: int = 160):
     """Smallest eigenpairs of a PSD Laplacian via polynomial-filtered
     subspace iteration, batched over leading axes.
 
@@ -202,6 +202,20 @@ def _filtered_smallest(lap, alpha, x0, inner: int = 16, outer: int = 40):
     paying a small-eigh + orthogonalization EVERY iteration — both lower
     to expensive QDWH/QR kernels on TPU.
 
+    inner is capped low (4) deliberately: when the near-kernel dimension
+    is below k (rank-deficient affinities — duplicate embeddings), the
+    complement components decay by (1-lam_bulk/a)^inner per span; with a
+    long span they fall beneath the shifted-Cholesky noise floor, the
+    complement columns collapse into the kernel span, and every Ritz
+    value reads ~0 (observed: 45-fold duplicated embeddings put the bulk
+    at 45 and the device path reported all-zero spectra → num_speakers 1
+    vs host 2). 4 applications keep the worst-case decay ~0.5^4 = 6e-2,
+    three orders above the 1e-5-relative first-pass shift, and the
+    two-pass CholeskyQR restores orthonormality to f32 precision each
+    span so the subspace self-heals. Same total matmul count (inner ×
+    outer = 640); the extra [k, k] Cholesky work is negligible next to
+    the [N, N] @ [N, k] products.
+
     Returns (w [..., k] ascending Ritz values of lap, U [..., N, k])."""
     import jax
     import jax.numpy as jnp
@@ -212,17 +226,27 @@ def _filtered_smallest(lap, alpha, x0, inner: int = 16, outer: int = 40):
     eyeN = jnp.eye(N, dtype=lap.dtype)
     Bm = eyeN - lap / a
     Y0 = jnp.broadcast_to(x0, batch + (N, k))
-    eps = 1e-6
+    eyek = jnp.eye(k, dtype=lap.dtype)
+
+    def chol_orth(Y, shift_rel):
+        """One shifted-CholeskyQR pass: shift scales with the largest
+        column norm so near-collapsed (but real) directions survive."""
+        G = jnp.swapaxes(Y, -1, -2) @ Y
+        dmax = jnp.max(jnp.abs(G), axis=(-1, -2), keepdims=True)
+        Lc = jnp.linalg.cholesky(G + (shift_rel * dmax + 1e-30) * eyek)
+        return jnp.swapaxes(jax.scipy.linalg.solve_triangular(
+            Lc, jnp.swapaxes(Y, -1, -2), lower=True), -1, -2)
 
     def ostep(Y, _):
         def istep(Y, _):
             return Bm @ Y, None
         Y, _ = jax.lax.scan(istep, Y, None, length=inner)
-        G = jnp.swapaxes(Y, -1, -2) @ Y
-        G = G + eps * jnp.eye(k, dtype=Y.dtype)
-        Lc = jnp.linalg.cholesky(G)
-        Y = jnp.swapaxes(jax.scipy.linalg.solve_triangular(
-            Lc, jnp.swapaxes(Y, -1, -2), lower=True), -1, -2)
+        # CholeskyQR2: pass 1 tames the conditioning, pass 2 restores
+        # orthogonality to ~f32 eps (plain eps-shifted CholeskyQR leaves
+        # O(sqrt(shift)) junk inside converged columns, which is exactly
+        # the collapse mode described above)
+        Y = chol_orth(Y, 1e-5)
+        Y = chol_orth(Y, 1e-7)
         return Y, None
 
     Y, _ = jax.lax.scan(ostep, Y0, None, length=outer)

@@ -69,12 +69,48 @@ def sinusoids(length: int, channels: int, max_timescale: float = 10000
                           ).astype(np.float32)
 
 
+class QuantDense(nn.Module):
+    """Weight-only int8 Dense: kernel stored int8 with per-output-channel
+    symmetric scales, dequantized inside the matmul read.
+
+    Incremental decode is weight-READ-bound (every step streams every
+    decoder matrix from HBM at batch ~12 rows); int8 storage halves that
+    traffic. The convert-to-compute-dtype fuses into the dot's operand
+    read on XLA:TPU, so no bf16 copy of the weights is materialized
+    (measured: see tools/bench_int8_matmul.py)."""
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.param("kernel", nn.initializers.zeros,
+                       (x.shape[-1], self.features), jnp.int8)
+        s = self.param("scale", nn.initializers.ones, (self.features,),
+                       jnp.float32)
+        y = (x.astype(self.dtype) @ k.astype(self.dtype)) \
+            * s.astype(self.dtype)
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+def _dense(quant: bool, features: int, use_bias: bool, dtype, name: str):
+    if quant:
+        return QuantDense(features, use_bias=use_bias, dtype=dtype,
+                          name=name)
+    return nn.Dense(features, use_bias=use_bias, dtype=dtype, name=name)
+
+
 class MHA(nn.Module):
     """Whisper attention: q/out have bias, k has none, v has bias; scaling
     by d_k**-0.25 applied to both q and k."""
     n_state: int
     n_head: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None,
@@ -87,14 +123,15 @@ class MHA(nn.Module):
         them ONCE at prefill instead of re-running two [S, D]x[D, D]
         matmuls per layer per step (which dominated decode FLOPs)."""
         d_k = self.n_state // self.n_head
-        q = nn.Dense(self.n_state, dtype=self.dtype, name="query")(x)
+        q = _dense(self.quant, self.n_state, True, self.dtype, "query")(x)
         if precomputed_kv is not None:
             k, v = precomputed_kv
         else:
             src = x if xa is None else xa
-            k = nn.Dense(self.n_state, use_bias=False, dtype=self.dtype,
-                         name="key")(src)
-            v = nn.Dense(self.n_state, dtype=self.dtype, name="value")(src)
+            k = _dense(self.quant, self.n_state, False, self.dtype,
+                       "key")(src)
+            v = _dense(self.quant, self.n_state, True, self.dtype,
+                       "value")(src)
 
         new_cache = None
         if kv_cache is not None:
@@ -120,7 +157,8 @@ class MHA(nn.Module):
         out = jnp.einsum("bhts,bhsd->bhtd", w.astype(vh.dtype), vh,
                          preferred_element_type=jnp.float32)
         out = out.transpose(0, 2, 1, 3).reshape(B, T, self.n_state)
-        out = nn.Dense(self.n_state, dtype=self.dtype, name="out")(out)
+        out = _dense(self.quant, self.n_state, True, self.dtype,
+                     "out")(out)
         return out, w, new_cache
 
 
@@ -129,25 +167,29 @@ class ResidualBlock(nn.Module):
     n_head: int
     cross_attention: bool = False
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None,
                  cross_kv=None):
         h = nn.LayerNorm(epsilon=LN_EPS, name="attn_ln")(x)
         a, _, new_cache = MHA(self.n_state, self.n_head, self.dtype,
-                              name="attn")(h, None, mask, kv_cache, cache_index)
+                              quant=self.quant, name="attn")(
+                                  h, None, mask, kv_cache, cache_index)
         x = x + a
         cross_w = None
         if self.cross_attention:
             h = nn.LayerNorm(epsilon=LN_EPS, name="cross_attn_ln")(x)
             a, cross_w, _ = MHA(self.n_state, self.n_head, self.dtype,
+                                quant=self.quant,
                                 name="cross_attn")(h, xa,
                                                    precomputed_kv=cross_kv)
             x = x + a
         h = nn.LayerNorm(epsilon=LN_EPS, name="mlp_ln")(x)
-        h = nn.Dense(4 * self.n_state, dtype=self.dtype, name="mlp1")(h)
+        h = _dense(self.quant, 4 * self.n_state, True, self.dtype,
+                   "mlp1")(h)
         h = nn.gelu(h, approximate=False)
-        h = nn.Dense(self.n_state, dtype=self.dtype, name="mlp2")(h)
+        h = _dense(self.quant, self.n_state, True, self.dtype, "mlp2")(h)
         return x + h, cross_w, new_cache
 
 
@@ -179,6 +221,7 @@ class AudioEncoder(nn.Module):
 class TextDecoder(nn.Module):
     dims: WhisperDims
     dtype: Any = jnp.float32
+    quant: bool = False   # weight-only int8 matrices (see QuantDense)
 
     @nn.compact
     def __call__(self, tokens, xa, pos_offset=0, kv_caches=None,
@@ -199,21 +242,34 @@ class TextDecoder(nn.Module):
         Returns (logits [B, T, vocab], new_caches, cross_attn list).
         """
         d = self.dims
-        tok_emb = self.param("token_embedding", nn.initializers.normal(0.02),
-                             (d.n_vocab, d.n_text_state), jnp.float32)
+        if self.quant:
+            # int8 rows with a per-vocab-row scale: the embedding doubles
+            # as the logits matrix (tied weights) — the [V, D] read each
+            # step is the single largest weight tensor in the decoder
+            tok_emb = self.param("token_embedding", nn.initializers.zeros,
+                                 (d.n_vocab, d.n_text_state), jnp.int8)
+            tok_scale = self.param("token_scale", nn.initializers.ones,
+                                   (d.n_vocab,), jnp.float32)
+            emb_rows = tok_emb[tokens].astype(jnp.float32) \
+                * tok_scale[tokens][..., None]
+        else:
+            tok_emb = self.param("token_embedding",
+                                 nn.initializers.normal(0.02),
+                                 (d.n_vocab, d.n_text_state), jnp.float32)
+            emb_rows = tok_emb[tokens]
         pos_emb = self.param("positional_embedding",
                              nn.initializers.normal(0.01),
                              (d.n_text_ctx, d.n_text_state), jnp.float32)
         T = tokens.shape[1]
         if pad_lens is None:
-            x = tok_emb[tokens] + jax.lax.dynamic_slice_in_dim(
+            x = emb_rows + jax.lax.dynamic_slice_in_dim(
                 pos_emb, pos_offset, T, axis=0)
         else:
             # per-row positions: cache slot (pos_offset + j) minus the
             # row's pad; pad-slot queries clamp to 0 (masked anyway)
             pos_idx = jnp.clip(pos_offset + jnp.arange(T)[None, :]
                                - pad_lens[:, None], 0, d.n_text_ctx - 1)
-            x = tok_emb[tokens] + pos_emb[pos_idx]
+            x = emb_rows + pos_emb[pos_idx]
 
         if kv_caches is None:
             mask = jnp.triu(jnp.full((T, T), -jnp.inf, jnp.float32), k=1)
@@ -246,25 +302,38 @@ class TextDecoder(nn.Module):
             cache = kv_caches[i] if kv_caches is not None else None
             x, cw, nc = ResidualBlock(
                 d.n_text_state, d.n_text_head, cross_attention=True,
-                dtype=self.dtype, name=f"block_{i}")(
+                dtype=self.dtype, quant=self.quant, name=f"block_{i}")(
                     x, xa, mask, cache, pos_offset,
                     cross_kv=cross_kvs[i] if cross_kvs is not None else None)
             new_caches.append(nc)
             if return_cross_attn:
                 cross_ws.append(cw)
         x = nn.LayerNorm(epsilon=LN_EPS, name="ln")(x)
-        logits = jnp.einsum("btd,vd->btv", x, tok_emb,
-                            preferred_element_type=jnp.float32)
+        if self.quant:
+            logits = jnp.einsum("btd,vd->btv", x.astype(self.dtype),
+                                tok_emb.astype(self.dtype),
+                                preferred_element_type=jnp.float32) \
+                * tok_scale[None, None, :]
+        else:
+            logits = jnp.einsum("btd,vd->btv", x, tok_emb,
+                                preferred_element_type=jnp.float32)
         return logits, (new_caches if kv_caches is not None else None), cross_ws
 
 
 class WhisperModel:
-    """Functional bundle: encoder + decoder modules and jitted entries."""
+    """Functional bundle: encoder + decoder modules and jitted entries.
 
-    def __init__(self, dims: WhisperDims, dtype=jnp.float32):
+    quant_decoder=True builds the decoder with weight-only int8 matrices
+    (see QuantDense); pair it with variables transformed by
+    quantize_whisper_decoder. The encoder always stays bf16/f32 — it is
+    compute-bound on the MXU, where bf16 is the fast path."""
+
+    def __init__(self, dims: WhisperDims, dtype=jnp.float32,
+                 quant_decoder: bool = False):
         self.dims = dims
+        self.quant_decoder = quant_decoder
         self.encoder = AudioEncoder(dims, dtype)
-        self.decoder = TextDecoder(dims, dtype)
+        self.decoder = TextDecoder(dims, dtype, quant=quant_decoder)
 
     def init(self, rng) -> Dict:
         r1, r2 = jax.random.split(rng)
@@ -335,8 +404,11 @@ class WhisperModel:
         for i in range(d.n_text_layer):
             ca = p[f"block_{i}"]["cross_attn"]
             k = xa_c @ ca["key"]["kernel"].astype(dt)
-            v = xa_c @ ca["value"]["kernel"].astype(dt) \
-                + ca["value"]["bias"].astype(dt)
+            v = xa_c @ ca["value"]["kernel"].astype(dt)
+            if "scale" in ca["key"]:      # weight-only int8 decoder
+                k = k * ca["key"]["scale"].astype(dt)
+                v = v * ca["value"]["scale"].astype(dt)
+            v = v + ca["value"]["bias"].astype(dt)
             out.append((k, v))
         return out
 
@@ -461,3 +533,50 @@ def load_openai_whisper_checkpoint(path) -> Tuple[Dict, WhisperDims]:
     sd = {k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
           for k, v in cpt["model_state_dict"].items()}
     return convert_whisper_state_dict(sd, dims), dims
+
+
+def quantize_whisper_decoder(variables: Dict) -> Dict:
+    """Transform decoder params to weight-only int8 (per-output-channel
+    symmetric scales) for a model built with quant_decoder=True.
+
+    Quantized: every Dense kernel in the decoder blocks (self q/k/v/out,
+    cross q/k/v/out, mlp1/mlp2) and the tied token embedding (per-vocab-row
+    scale — it doubles as the logits matrix). Kept float: layer norms,
+    positional embedding, biases. The encoder is untouched.
+    Incremental decode streams every decoder matrix from HBM each step;
+    int8 halves that traffic (the decode stage's bound resource).
+    """
+    import copy
+
+    def qmat(w):
+        w = np.asarray(w, np.float32)                 # [in, out]
+        s = np.abs(w).max(axis=0) / 127.0
+        s = np.where(s == 0, 1.0, s).astype(np.float32)
+        q = np.clip(np.round(w / s[None, :]), -127, 127).astype(np.int8)
+        return q, s
+
+    dec = copy.deepcopy(jax.tree_util.tree_map(np.asarray,
+                                               variables["decoder"]))
+    p = dec["params"]
+    for name in list(p):
+        if not name.startswith("block_"):
+            continue
+        blk = p[name]
+        for sub in ("attn", "cross_attn"):
+            for lin in ("query", "key", "value", "out"):
+                q, s = qmat(blk[sub][lin]["kernel"])
+                blk[sub][lin]["kernel"] = q
+                blk[sub][lin]["scale"] = s
+        for lin in ("mlp1", "mlp2"):
+            q, s = qmat(blk[lin]["kernel"])
+            blk[lin]["kernel"] = q
+            blk[lin]["scale"] = s
+    emb = np.asarray(p["token_embedding"], np.float32)     # [V, D]
+    s = np.abs(emb).max(axis=1) / 127.0
+    s = np.where(s == 0, 1.0, s).astype(np.float32)
+    p["token_embedding"] = np.clip(
+        np.round(emb / s[:, None]), -127, 127).astype(np.int8)
+    p["token_scale"] = s
+    out = dict(variables)
+    out["decoder"] = jax.tree_util.tree_map(jnp.asarray, dec)
+    return out

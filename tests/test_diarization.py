@@ -370,3 +370,118 @@ def test_run_clustering_batch_matches_single(monkeypatch):
     batched = C.run_clustering_batch(affs)
     for s, b in zip(singles, batched):
         assert agree(np.asarray(s), np.asarray(b)) == 1.0
+
+
+def _host_vs_device(aff, monkeypatch, seed_note=""):
+    """Run nmesc + run_clustering on both paths; return (host, dev,
+    host_labels, dev_labels)."""
+    import jax.numpy as jnp
+
+    import notsofar_tpu.diarization.clustering as C
+    monkeypatch.setattr(C, "_accelerator_available", lambda: False)
+    host = nmesc(aff)
+    host_labels = run_clustering(aff)
+    monkeypatch.setattr(C, "_accelerator_available", lambda: True)
+    dev = nmesc(jnp.asarray(aff, jnp.float32))
+    dev_labels = np.asarray(run_clustering(jnp.asarray(aff, jnp.float32)))
+    return host, dev, host_labels, dev_labels
+
+
+def test_nmesc_device_adversarial_near_tie(monkeypatch):
+    """Near-degenerate eigengap: 3 clusters whose cross-cluster affinity
+    sits close under the within-cluster one. The gap statistic that picks
+    the speaker count is small but real (~1e-2 relative, above the
+    device solver's ~1e-3) — the subspace iteration must still resolve
+    it. VERDICT r2 weak #5."""
+    rng = np.random.RandomState(11)
+    # unit-norm centers with high mutual cosine: u0 + small orthogonal tilts
+    base = rng.randn(64)
+    base /= np.linalg.norm(base)
+    centers = []
+    for i in range(3):
+        t = rng.randn(64)
+        t -= t @ base * base
+        t /= np.linalg.norm(t)
+        centers.append(base + 0.28 * t)    # pairwise cos ~ 0.93
+    emb, truth = synth_embeddings(rng, 60, centers, noise=0.04)
+    aff = cos_affinity_matrix(emb)
+    host, dev, hl, dl = _host_vs_device(aff, monkeypatch)
+    assert host.num_speakers == 3          # construction sanity
+    assert dev.num_speakers == host.num_speakers
+    assert dev.p_hat == host.p_hat
+    assert agree(dl, hl) == 1.0
+
+
+def test_nmesc_device_adversarial_rank_deficient(monkeypatch):
+    """Rank-deficient blocks: many near-duplicate embeddings (jittered at
+    1e-4 so the p-th-largest row entries are not EXACT ties — tie
+    semantics legitimately differ between argpartition and thresholding)
+    make the affinity blocks numerically rank-1 and the Laplacian
+    spectrum highly clustered at 0."""
+    rng = np.random.RandomState(12)
+    protos = rng.randn(2, 32)
+    reps = np.repeat(protos, 45, axis=0)             # 45 copies each
+    emb = reps + 1e-4 * rng.randn(*reps.shape)
+    aff = cos_affinity_matrix(emb)
+    host, dev, hl, dl = _host_vs_device(aff, monkeypatch)
+    assert host.num_speakers == 2
+    assert dev.num_speakers == host.num_speakers
+    assert dev.p_hat == host.p_hat
+    assert agree(dl, hl) == 1.0
+
+
+@pytest.mark.parametrize("n", [254, 256, 258])
+def test_nmesc_device_adversarial_bucket_edge(monkeypatch, n):
+    """N straddling the device path's 256-padding bucket: pad-node
+    spectral isolation must hold exactly at, under and over the
+    boundary."""
+    rng = np.random.RandomState(13 + n)
+    centers = [np.eye(16)[i] for i in range(4)]
+    per = n // 4
+    emb, _ = synth_embeddings(rng, per, centers, noise=0.08)
+    extra = n - per * 4
+    if extra:
+        emb = np.concatenate(
+            [emb, centers[0][None] + 0.08 * rng.randn(extra, 16)])
+    aff = cos_affinity_matrix(emb)
+    host, dev, hl, dl = _host_vs_device(aff, monkeypatch)
+    assert dev.num_speakers == host.num_speakers
+    assert dev.p_hat == host.p_hat
+    assert agree(dl, hl) == 1.0
+
+
+def test_nmesc_device_adversarial_unbalanced(monkeypatch):
+    """One dominant cluster + one tiny one (5 points): the small
+    cluster's eigenvalue sits barely under the bulk — the classic case
+    where low-precision subspace iteration absorbs it."""
+    rng = np.random.RandomState(14)
+    c = [np.eye(24)[0], np.eye(24)[1]]
+    big = c[0][None] + 0.06 * rng.randn(200, 24)
+    small = c[1][None] + 0.06 * rng.randn(5, 24)
+    emb = np.concatenate([big, small])
+    aff = cos_affinity_matrix(emb)
+    host, dev, hl, dl = _host_vs_device(aff, monkeypatch)
+    assert host.num_speakers == 2
+    assert dev.num_speakers == host.num_speakers
+    assert dev.p_hat == host.p_hat
+    assert agree(dl, hl) == 1.0
+
+
+def test_nmesc_device_adversarial_near_disconnected(monkeypatch):
+    """Block-diagonal-ish affinity whose small-p graphs disconnect: the
+    candidate argmin lands on a disconnected p and the repair must walk
+    to the same minimal connected candidate on both paths (the device
+    carries per-candidate flags; the host BFS-checks lazily)."""
+    rng = np.random.RandomState(15)
+    centers = [np.eye(48)[i] for i in range(2)]
+    emb, _ = synth_embeddings(rng, 80, centers, noise=0.02)
+    aff = cos_affinity_matrix(emb)
+    # suppress cross-block affinity to near zero except a thin bridge
+    aff[:80, 80:] *= 0.02
+    aff[80:, :80] *= 0.02
+    aff[79, 80] = aff[80, 79] = 0.6
+    np.fill_diagonal(aff, 1.0)
+    host, dev, hl, dl = _host_vs_device(aff, monkeypatch)
+    assert dev.num_speakers == host.num_speakers
+    assert dev.p_hat == host.p_hat
+    assert agree(dl, hl) == 1.0

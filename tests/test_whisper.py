@@ -477,3 +477,50 @@ def test_median7_network_exhaustive():
     lanes = [jnp.asarray(perms[:, k]) for k in range(7)]
     med = np.asarray(_median7_network(lanes))
     assert (med == 3.0).all()
+
+
+def test_int8_decoder_parity():
+    """Weight-only int8 decoder (QuantDense) vs float decoder: the
+    teacher-forced logits must be nearly identical (per-channel int8
+    carries ~0.4% weight error) and greedy argmax must agree everywhere
+    on a random model."""
+    import jax
+    import jax.numpy as jnp
+    from notsofar_tpu.models.whisper import (WHISPER_DIMS, WhisperModel,
+                                             quantize_whisper_decoder)
+    m = WhisperModel(WHISPER_DIMS["tiny"], dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0))
+    qv = quantize_whisper_decoder(v)
+    qm = WhisperModel(WHISPER_DIMS["tiny"], dtype=jnp.float32,
+                      quant_decoder=True)
+    rng = np.random.RandomState(7)
+    xa = jnp.asarray(rng.randn(2, 1500, 384).astype(np.float32))
+    toks = jnp.asarray(np.tile(np.array([[50257, 50258, 50359, 123, 456]],
+                                        np.int32), (2, 1)))
+    l1, _, _ = m.decoder.apply(v["decoder"], toks, xa, 0)
+    l2, _, _ = qm.decoder.apply(qv["decoder"], toks, xa, 0)
+    a, b = np.asarray(l1), np.asarray(l2)
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+    assert (a.argmax(-1) == b.argmax(-1)).all()
+    # the hoisted cross-K/V path must apply the int8 scales too
+    ck1 = m.precompute_cross_kv(v["decoder"], xa)
+    ck2 = qm.precompute_cross_kv(qv["decoder"], xa)
+    for (k1, v1), (k2, v2) in zip(ck1, ck2):
+        for x1, x2 in ((k1, k2), (v1, v2)):
+            rel = float(jnp.abs(x1 - x2).max() / (jnp.abs(x1).max() + 1e-9))
+            assert rel < 0.02, rel
+
+
+def test_int8_load_path():
+    """load_whisper_model(compute_dtype='int8') produces a quantized
+    decoder whose params carry int8 kernels + f32 scales."""
+    import jax.numpy as jnp
+    from notsofar_tpu.asr.inference import load_whisper_model
+    model, variables, tok, _ = load_whisper_model(
+        "tiny", models_dir=None, compute_dtype="int8")
+    assert model.quant_decoder
+    blk = variables["decoder"]["params"]["block_0"]
+    assert blk["attn"]["query"]["kernel"].dtype == jnp.int8
+    assert blk["attn"]["query"]["scale"].dtype == jnp.float32
+    assert variables["decoder"]["params"]["token_embedding"].dtype == jnp.int8
