@@ -168,6 +168,12 @@ def main():
         compression_ratio_threshold=None,
         max_new_tokens=args.decode_steps)
     template = build_template(tok)
+    # serving decode config: int8 weights come with int8 cross-KV + the
+    # doubled per-dispatch row budget (see TranscribeOptions.cross_kv_quant)
+    dec_opts = DecodeOptions(max_new_tokens=args.decode_steps,
+                             cross_kv_quant=quant,
+                             **({"max_rows_per_dispatch": 24} if quant
+                                else {}))
     if args.parity_asr:
         # the reference decode recipe: beam-5, condition_on_previous_text
         # (template tokens feed forward as real prompts), via the
@@ -178,17 +184,14 @@ def main():
                                  **common)
         transcriber = WhisperTranscriber(wmodel, wvars, tok, opts)
         transcriber.decoder = BenchDecoder(
-            BeamDecoder(wmodel, tok,
-                        DecodeOptions(max_new_tokens=args.decode_steps),
-                        beam_size=5),
+            BeamDecoder(wmodel, tok, dec_opts, beam_size=5),
             template)
     else:
         opts = TranscribeOptions(lockstep_decode=True,
                                  condition_on_previous_text=False, **common)
         transcriber = WhisperTranscriber(wmodel, wvars, tok, opts)
         transcriber.decoder = BenchDecoder(
-            GreedyDecoder(wmodel, tok,
-                          DecodeOptions(max_new_tokens=args.decode_steps)),
+            GreedyDecoder(wmodel, tok, dec_opts),
             template)
 
     # ---- diarization (TitaNet-large dims, shipped 6 scales) --------------

@@ -38,12 +38,14 @@ class BeamDecoder(GreedyDecoder):
         self.beam_size = beam_size
         self.cache_dtype = cache_dtype
 
-    def _beam_caches(self, batch: int):
+    def _beam_caches(self, batch: int, cache_len: int):
+        # sized to prompt+max_new (not n_text_ctx): the per-step beam
+        # reorder gathers the WHOLE cache, so the tight width cuts the
+        # dominant beam memory cost ~(448/cache_len)x
         d = self.model.dims
-        return [(jnp.zeros((batch, d.n_text_ctx, d.n_text_state),
-                           self.cache_dtype),
-                 jnp.zeros((batch, d.n_text_ctx, d.n_text_state),
-                           self.cache_dtype))
+        ctx = min(cache_len, d.n_text_ctx)
+        return [(jnp.zeros((batch, ctx, d.n_text_state), self.cache_dtype),
+                 jnp.zeros((batch, ctx, d.n_text_state), self.cache_dtype))
                 for _ in range(d.n_text_layer)]
 
     @partial(jax.jit, static_argnums=(0, 3))
@@ -59,17 +61,22 @@ class BeamDecoder(GreedyDecoder):
         BK = B * K
         V = model.dims.n_vocab
 
-        # replicate memory + prompt across beams
-        xa_k = jnp.repeat(xa, K, axis=0)                       # [BK, 1500, D]
+        # replicate the prompt across beams; the cross-attention memory is
+        # NOT replicated — all K beams of a row attend to the same window,
+        # so MHA._attend_precomputed folds the beam axis and reads the
+        # cross-KV once per batch row instead of once per beam (a K-fold
+        # cut of the dominant decode HBM stream)
         prompt_k = jnp.repeat(prompt_tokens, K, axis=0)        # [BK, P]
         pad_k = jnp.repeat(pad_lens, K, axis=0) if pad_lens is not None \
             else None
-        caches = self._beam_caches(BK)
-        # cross K/V projected once from the beam-replicated memory (see
-        # GreedyDecoder._decode_scan)
-        cross_kvs = model.precompute_cross_kv(variables["decoder"], xa_k)
+        budget = min(self.opt.max_new_tokens,
+                     model.dims.n_text_ctx - prompt_len) + prompt_len
+        caches = self._beam_caches(BK, -(-budget // 64) * 64)
+        cross_kvs = model.precompute_cross_kv(variables["decoder"], xa)
+        if self.opt.cross_kv_quant:
+            cross_kvs = model.quantize_cross_kv(cross_kvs)
         logits, caches, _ = model.decoder.apply(
-            variables["decoder"], prompt_k, xa_k, 0, caches,
+            variables["decoder"], prompt_k, xa, 0, caches,
             cross_kvs=cross_kvs, pad_lens=pad_k)
         sot_pos = prompt_len - 1 - (2 if len(tok.sot_sequence) == 3 else 0)
         nsp = jax.nn.softmax(logits[::K, sot_pos], axis=-1)[:, tok.no_speech]
@@ -135,7 +142,7 @@ class BeamDecoder(GreedyDecoder):
                 any_ts=g(st["any_ts"]) | is_ts,
             )
             new_logits, new_caches, _ = model.decoder.apply(
-                variables["decoder"], next_tok_flat[:, None], xa_k,
+                variables["decoder"], next_tok_flat[:, None], xa,
                 prompt_len + step, new_caches, cross_kvs=cross_kvs,
                 pad_lens=pad_k)
             new_state["caches"] = new_caches

@@ -80,6 +80,13 @@ class DecodeOptions:
     # cross-attention K/V cache is ~0.5 GB on large-v3, so oversized
     # batches spill HBM and run SLOWER than two right-sized dispatches
     max_rows_per_dispatch: int = 12
+    # int8 cross-attention K/V (WhisperModel.quantize_cross_kv): decode
+    # re-reads the whole cross-KV every step and that traffic scales with
+    # the batch — the decode bound on large models. int8 halves it AND
+    # lets max_rows_per_dispatch double for the same HBM (fewer weight
+    # re-reads). Greedy-argmax parity is tested; pin False for strict
+    # bit-parity runs.
+    cross_kv_quant: bool = False
 
 
 class GreedyDecoder:
@@ -181,12 +188,21 @@ class GreedyDecoder:
         no_speech_prob [B])."""
         model, tok = self.model, self.tok
         B = xa.shape[0]
-        caches = model.empty_kv_caches(B)
+        # size the self-KV cache to what this decode can actually write
+        # (prompt + max_new rounded up to 64): every step re-reads the
+        # whole cache, so the default 448-wide cache paid ~5x the needed
+        # self-attention traffic for short-prompt decodes
+        budget = min(self.opt.max_new_tokens,
+                     model.dims.n_text_ctx - prompt_len) + prompt_len
+        cache_len = min(-(-budget // 64) * 64, model.dims.n_text_ctx)
+        caches = model.empty_kv_caches(B, cache_len=cache_len)
 
         # cross-attention K/V depend only on xa: project once here instead
         # of per step (two [1500, D] x [D, D] matmuls per layer per step
         # otherwise dominate decode FLOPs)
         cross_kvs = model.precompute_cross_kv(variables["decoder"], xa)
+        if self.opt.cross_kv_quant:
+            cross_kvs = model.quantize_cross_kv(cross_kvs)
         # prefill: run the prompt through the decoder, filling the cache
         logits, caches, _ = model.decoder.apply(
             variables["decoder"], prompt_tokens, xa, 0, caches,

@@ -85,6 +85,13 @@ class TranscribeOptions:
     # decodes with per-(stream, seek) sampling salt (bit-stable across
     # batch compositions).
     batched_prompts: bool = True
+    # int8 cross-attention K/V during decode (see DecodeOptions) — the
+    # serving configuration alongside int8 decoder weights; None follows
+    # the model (on iff the decoder is weight-only int8).
+    cross_kv_quant: Optional[bool] = None
+    # rows per decode dispatch (None = DecodeOptions default 12; int8
+    # cross-KV halves per-row HBM so serving configs pass 24)
+    max_rows_per_dispatch: Optional[int] = None
 
 
 def compression_ratio(text: str) -> float:
@@ -375,8 +382,19 @@ class WhisperTranscriber:
         self.variables = variables
         self.tok = tokenizer
         self.opt = options
+        kv_q = options.cross_kv_quant
+        if kv_q is None:
+            kv_q = bool(getattr(model, "quant_decoder", False))
+        extra = {}
+        if options.max_rows_per_dispatch is not None:
+            extra["max_rows_per_dispatch"] = options.max_rows_per_dispatch
+        elif kv_q:
+            # int8 cross-KV halves the per-row HBM cost, so twice the rows
+            # fit one dispatch (fewer weight re-reads per decode step)
+            extra["max_rows_per_dispatch"] = 24
         dec_opts = DecodeOptions(language=options.language,
-                                 max_new_tokens=options.max_new_tokens)
+                                 max_new_tokens=options.max_new_tokens,
+                                 cross_kv_quant=kv_q, **extra)
         if options.beam_size and options.beam_size > 1:
             from notsofar_tpu.asr.beam import BeamDecoder
             self.decoder = BeamDecoder(model, tokenizer, dec_opts,

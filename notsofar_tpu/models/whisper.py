@@ -121,17 +121,27 @@ class MHA(nn.Module):
         precomputed_kv: optional (k, v) [B, S, D] already projected —
         cross-attention K/V depend only on xa, so the decode loop projects
         them ONCE at prefill instead of re-running two [S, D]x[D, D]
-        matmuls per layer per step (which dominated decode FLOPs)."""
+        matmuls per layer per step (which dominated decode FLOPs). A
+        4-tuple (k_q int8, k_scale, v_q int8, v_scale) is the quantized
+        form (see WhisperModel.quantize_cross_kv): incremental decode
+        re-reads the whole cross-KV every step — at [B, 1500, D] per layer
+        it is the single largest decode HBM stream and, unlike weights, it
+        does NOT amortize with batch — so int8 storage halves the decode
+        bound. The per-(row, channel) k scale folds into q before the
+        logits dot and the v scale applies after the values dot, so no
+        dequantized copy is ever materialized."""
         d_k = self.n_state // self.n_head
         q = _dense(self.quant, self.n_state, True, self.dtype, "query")(x)
         if precomputed_kv is not None:
-            k, v = precomputed_kv
-        else:
-            src = x if xa is None else xa
-            k = _dense(self.quant, self.n_state, False, self.dtype,
-                       "key")(src)
-            v = _dense(self.quant, self.n_state, True, self.dtype,
-                       "value")(src)
+            out, w = self._attend_precomputed(q, precomputed_kv, mask)
+            out = _dense(self.quant, self.n_state, True, self.dtype,
+                         "out")(out)
+            return out, w, None
+        src = x if xa is None else xa
+        k = _dense(self.quant, self.n_state, False, self.dtype,
+                   "key")(src)
+        v = _dense(self.quant, self.n_state, True, self.dtype,
+                   "value")(src)
 
         new_cache = None
         if kv_cache is not None:
@@ -160,6 +170,62 @@ class MHA(nn.Module):
         out = _dense(self.quant, self.n_state, True, self.dtype,
                      "out")(out)
         return out, w, new_cache
+
+    def _attend_precomputed(self, q, precomputed_kv, mask):
+        """Cross-attention against an already-projected memory.
+
+        precomputed_kv: (k, v) [Bm, S, D], or the int8 4-tuple
+        (k_q, k_scale, v_q, v_scale). When the query batch B is a multiple
+        of the memory batch Bm (beam search: K beams share one window's
+        memory), the beam axis folds into the query-time axis so the
+        memory is READ ONCE per batch row instead of once per beam — a
+        K-fold cut of the dominant decode HBM stream. Cross-attention has
+        no mask in this codebase; a mask is only supported unfolded.
+        Returns (out [B, T, D] pre-out-projection, attention weights)."""
+        d_k = self.n_state // self.n_head
+        H = self.n_head
+        B, T, _ = q.shape
+        quant = len(precomputed_kv) == 4
+        k = precomputed_kv[0]
+        Bm = k.shape[0]
+        S = k.shape[1]
+        fold = Bm != B
+        if fold:
+            assert mask is None and B % Bm == 0
+            q = q.reshape(Bm, (B // Bm) * T, self.n_state)
+        Tq = q.shape[1]
+        qh = q.reshape(Bm, Tq, H, d_k).transpose(0, 2, 1, 3)
+        scale = d_k ** -0.25
+        if quant:
+            kq8, k_s, vq8, v_s = precomputed_kv
+            kh = kq8.reshape(Bm, S, H, d_k).transpose(0, 2, 1, 3)
+            vh = vq8.reshape(Bm, S, H, d_k).transpose(0, 2, 1, 3)
+            ks_h = k_s.reshape(Bm, 1, H, d_k).transpose(0, 2, 1, 3)
+            vs_h = v_s.reshape(Bm, 1, H, d_k).transpose(0, 2, 1, 3)
+            # fold the memory's per-channel int8 scale into q: the int8 k
+            # is consumed directly by the dot (no dequantized copy)
+            q_eff = (qh.astype(jnp.float32) * scale) * (ks_h * scale)
+            logits = jnp.einsum("bhtd,bhsd->bhts", q_eff,
+                                kh.astype(jnp.float32),
+                                preferred_element_type=jnp.float32)
+        else:
+            kh = k.reshape(Bm, S, H, d_k).transpose(0, 2, 1, 3)
+            vh = precomputed_kv[1].reshape(Bm, S, H, d_k
+                                           ).transpose(0, 2, 1, 3)
+            logits = jnp.einsum("bhtd,bhsd->bhts", qh * scale, kh * scale,
+                                preferred_element_type=jnp.float32)
+        if mask is not None:
+            logits = logits + mask
+        w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhts,bhsd->bhtd", w.astype(self.dtype),
+                         vh.astype(self.dtype),
+                         preferred_element_type=jnp.float32)
+        if quant:
+            out = out * vs_h
+        out = out.transpose(0, 2, 1, 3).reshape(Bm, Tq, self.n_state)
+        if fold:
+            out = out.reshape(B, T, self.n_state)
+        return out.astype(self.dtype), w
 
 
 class ResidualBlock(nn.Module):
@@ -229,8 +295,12 @@ class TextDecoder(nn.Module):
                  pad_lens=None):
         """tokens: [B, T] int32; xa: [B, 1500, D] encoder output.
 
-        kv_caches: None or list of per-layer (k, v) caches [B, n_text_ctx, D]
-        (decode mode: T is the new suffix placed at pos_offset).
+        kv_caches: None or list of per-layer (k, v) caches [B, ctx, D]
+        (decode mode: T is the new suffix placed at pos_offset). ctx may be
+        any length >= the positions actually written (empty_kv_caches
+        cache_len): every step re-reads the whole cache, so sizing it to
+        prompt+max_new instead of n_text_ctx=448 cuts the self-attention
+        KV traffic proportionally.
         cross_kvs: None or per-layer (k, v) [B, 1500, D] cross-attention
         projections precomputed from xa (see precompute_cross_kv).
         pad_lens: None or [B] int32 — number of LEFT-pad slots at the start
@@ -283,14 +353,15 @@ class TextDecoder(nn.Module):
                 mask = jnp.where(keypad & ~eye, -jnp.inf, mask[None, None])
         else:
             # suffix decode: attend to cache positions <= current
+            ctx = kv_caches[0][0].shape[1]
             pos = pos_offset + jnp.arange(T)[:, None]
-            keys = jnp.arange(d.n_text_ctx)[None, :]
+            keys = jnp.arange(ctx)[None, :]
             mask = jnp.where(keys <= pos, 0.0, -jnp.inf).astype(jnp.float32)
             if pad_lens is not None:
                 # pad keys invisible EXCEPT to their own query slot (a
                 # fully-masked softmax row is NaN, and NaN pad values
                 # would poison real rows through 0-weight x NaN)
-                keypad = (jnp.arange(d.n_text_ctx)[None, :]
+                keypad = (jnp.arange(ctx)[None, :]
                           < pad_lens[:, None])[:, None, None, :]
                 self_key = (keys == pos)[None, None]
                 mask = jnp.where(keypad & ~self_key, -jnp.inf,
@@ -379,16 +450,24 @@ class WhisperModel:
                                           pos_offset)
         return logits
 
-    def empty_kv_caches(self, batch: int, dtype=None):
+    def empty_kv_caches(self, batch: int, dtype=None,
+                        cache_len: Optional[int] = None):
         """Self-attention caches. Default dtype follows the model's compute
         dtype: with bf16 matmuls the cache holds bf16-computed values
         anyway, and f32 storage doubles the dominant decode memory
-        (batch x ctx x D x 2 x layers)."""
+        (batch x ctx x D x 2 x layers).
+
+        cache_len: cache width (default n_text_ctx=448). Every decode step
+        re-reads the full cache, so callers that know prompt+max_new size
+        it tight (decoding.py rounds up to 64) — a ~5x self-KV traffic cut
+        for the short-prompt greedy path."""
         d = self.dims
         if dtype is None:
             dtype = self.decoder.dtype
-        return [(jnp.zeros((batch, d.n_text_ctx, d.n_text_state), dtype),
-                 jnp.zeros((batch, d.n_text_ctx, d.n_text_state), dtype))
+        ctx = d.n_text_ctx if cache_len is None else min(cache_len,
+                                                         d.n_text_ctx)
+        return [(jnp.zeros((batch, ctx, d.n_text_state), dtype),
+                 jnp.zeros((batch, ctx, d.n_text_state), dtype))
                 for _ in range(d.n_text_layer)]
 
     def precompute_cross_kv(self, decoder_variables, xa):
@@ -410,6 +489,31 @@ class WhisperModel:
                 v = v * ca["value"]["scale"].astype(dt)
             v = v + ca["value"]["bias"].astype(dt)
             out.append((k, v))
+        return out
+
+    @staticmethod
+    def quantize_cross_kv(cross_kvs):
+        """Per-(row, channel) symmetric int8 quantization of the
+        precomputed cross-attention K/V.
+
+        The decode loop re-reads the entire cross-KV ([B, 1500, D] per
+        layer) every step; unlike the weights this traffic scales with the
+        batch, making it the decode stage's bound resource on large-v3.
+        int8 halves it. Scales stay per (row, channel) so one loud
+        channel cannot flatten the rest; dequantization folds into the
+        attention dots (see MHA). Traceable — call inside the decode jit
+        right after precompute_cross_kv."""
+        out = []
+        for k, v in cross_kvs:
+            kf = k.astype(jnp.float32)
+            vf = v.astype(jnp.float32)
+            k_s = jnp.maximum(jnp.max(jnp.abs(kf), axis=1, keepdims=True),
+                              1e-6) / 127.0                    # [B, 1, D]
+            v_s = jnp.maximum(jnp.max(jnp.abs(vf), axis=1, keepdims=True),
+                              1e-6) / 127.0
+            kq = jnp.round(kf / k_s).astype(jnp.int8)
+            vq = jnp.round(vf / v_s).astype(jnp.int8)
+            out.append((kq, k_s, vq, v_s))
         return out
 
 

@@ -512,6 +512,47 @@ def test_int8_decoder_parity():
             assert rel < 0.02, rel
 
 
+def test_cross_kv_quant_parity(hf_pair):
+    """int8 cross-attention K/V (DecodeOptions.cross_kv_quant): the
+    quantized-memory decode must reproduce the bf16-memory decode's tokens
+    on a seeded model, and the per-step logits must stay close (per-channel
+    int8 on K/V carries <1% relative error)."""
+    from notsofar_tpu.asr.beam import BeamDecoder
+    from notsofar_tpu.asr.decoding import DecodeOptions, GreedyDecoder
+    _, jm, variables = hf_pair
+    tok = mini_tokenizer()
+    rng = np.random.RandomState(21)
+    xa = jnp.asarray(rng.randn(3, 1500, 64).astype(np.float32) * 0.05)
+
+    # direct logits comparison through the quantized memory path
+    cross = jm.precompute_cross_kv(variables["decoder"], xa)
+    crossq = jm.quantize_cross_kv(cross)
+    toks = jnp.asarray(np.tile(np.array([[tok.sot, 3, 4, 5]], np.int32),
+                               (3, 1)))
+    caches = jm.empty_kv_caches(3, cache_len=64)
+    l1, _, _ = jm.decoder.apply(variables["decoder"], toks, xa, 0, caches,
+                                cross_kvs=cross)
+    l2, _, _ = jm.decoder.apply(variables["decoder"], toks, xa, 0, caches,
+                                cross_kvs=crossq)
+    a, b = np.asarray(l1), np.asarray(l2)
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.999, cos
+
+    # end-to-end: greedy and beam decodes agree with the bf16-memory runs
+    base = GreedyDecoder(jm, tok, DecodeOptions(max_new_tokens=8))
+    quant = GreedyDecoder(jm, tok, DecodeOptions(max_new_tokens=8,
+                                                 cross_kv_quant=True))
+    r1 = base.decode(variables, xa)
+    r2 = quant.decode(variables, xa)
+    assert r1["tokens"] == r2["tokens"]
+    bb = BeamDecoder(jm, tok, DecodeOptions(max_new_tokens=6), beam_size=3)
+    bq = BeamDecoder(jm, tok, DecodeOptions(max_new_tokens=6,
+                                            cross_kv_quant=True),
+                     beam_size=3)
+    assert bb.decode(variables, xa)["tokens"] == \
+        bq.decode(variables, xa)["tokens"]
+
+
 def test_int8_load_path():
     """load_whisper_model(compute_dtype='int8') produces a quantized
     decoder whose params carry int8 kernels + f32 scales."""
