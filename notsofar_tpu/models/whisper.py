@@ -122,14 +122,13 @@ class MHA(nn.Module):
         cross-attention K/V depend only on xa, so the decode loop projects
         them ONCE at prefill instead of re-running two [S, D]x[D, D]
         matmuls per layer per step (which dominated decode FLOPs). A
-        4-tuple (k_q int8, k_scale, v_q int8, v_scale) is the quantized
-        form (see WhisperModel.quantize_cross_kv): incremental decode
-        re-reads the whole cross-KV every step — at [B, 1500, D] per layer
-        it is the single largest decode HBM stream and, unlike weights, it
-        does NOT amortize with batch — so int8 storage halves the decode
-        bound. The per-(row, channel) k scale folds into q before the
-        logits dot and the v scale applies after the values dot, so no
-        dequantized copy is ever materialized."""
+        5-tuple (k8, k_scale, v8, v_scale, s_valid) is the quantized form
+        (see WhisperModel.quantize_cross_kv): incremental decode re-reads
+        the whole cross-KV every step — at [B, 1500, D] per layer it is
+        the single largest decode HBM stream and, unlike weights, it does
+        NOT amortize with batch — so the int8 form is consumed by a fused
+        Pallas kernel that streams exactly the int8 bytes (XLA would
+        materialize dequantized copies per step)."""
         d_k = self.n_state // self.n_head
         q = _dense(self.quant, self.n_state, True, self.dtype, "query")(x)
         if precomputed_kv is not None:
@@ -185,7 +184,7 @@ class MHA(nn.Module):
         d_k = self.n_state // self.n_head
         H = self.n_head
         B, T, _ = q.shape
-        quant = len(precomputed_kv) == 4
+        quant = len(precomputed_kv) == 5
         k = precomputed_kv[0]
         Bm = k.shape[0]
         S = k.shape[1]
@@ -194,34 +193,41 @@ class MHA(nn.Module):
             assert mask is None and B % Bm == 0
             q = q.reshape(Bm, (B // Bm) * T, self.n_state)
         Tq = q.shape[1]
-        qh = q.reshape(Bm, Tq, H, d_k).transpose(0, 2, 1, 3)
         scale = d_k ** -0.25
         if quant:
-            kq8, k_s, vq8, v_s = precomputed_kv
-            kh = kq8.reshape(Bm, S, H, d_k).transpose(0, 2, 1, 3)
-            vh = vq8.reshape(Bm, S, H, d_k).transpose(0, 2, 1, 3)
-            ks_h = k_s.reshape(Bm, 1, H, d_k).transpose(0, 2, 1, 3)
-            vs_h = v_s.reshape(Bm, 1, H, d_k).transpose(0, 2, 1, 3)
-            # fold the memory's per-channel int8 scale into q: the int8 k
-            # is consumed directly by the dot (no dequantized copy)
-            q_eff = (qh.astype(jnp.float32) * scale) * (ks_h * scale)
-            logits = jnp.einsum("bhtd,bhsd->bhts", q_eff,
-                                kh.astype(jnp.float32),
-                                preferred_element_type=jnp.float32)
-        else:
-            kh = k.reshape(Bm, S, H, d_k).transpose(0, 2, 1, 3)
-            vh = precomputed_kv[1].reshape(Bm, S, H, d_k
-                                           ).transpose(0, 2, 1, 3)
-            logits = jnp.einsum("bhtd,bhsd->bhts", qh * scale, kh * scale,
-                                preferred_element_type=jnp.float32)
+            # int8 memory: fold the per-channel k scale + both attention
+            # scale factors into q (exact, f32), then the fused Pallas
+            # kernel streams the int8 K/V bytes HBM->VMEM ONCE and
+            # dequantizes in registers. XLA consuming the int8 tensors
+            # materialized f32 copies of the whole memory EVERY STEP
+            # (measured 3x slower than bf16; tools/bench_decode_real.py),
+            # which is why this path does not go through einsum at all.
+            assert mask is None, "quantized cross-attention is unmasked"
+            from notsofar_tpu.ops.pallas_kernels import xattn_int8
+            kq8, k_s, vq8, v_s, s_valid = precomputed_kv
+            q_eff = ((q.astype(jnp.float32) * scale)
+                     * (k_s * scale)).astype(self.dtype)     # [Bm, Tq, D]
+            interpret = jax.default_backend() == "cpu"
+            out = xattn_int8(q_eff, kq8, vq8, v_s[:, 0], d_k, s_valid,
+                             interpret=interpret)            # [Bm, Tq, D]
+            if fold:
+                out = out.reshape(B, T, self.n_state)
+            # decode paths never consume cross-attention weights (the
+            # alignment pass runs unquantized); the kernel does not
+            # materialize them
+            return out.astype(self.dtype), None
+        qh = q.reshape(Bm, Tq, H, d_k).transpose(0, 2, 1, 3)
+        kh = k.reshape(Bm, S, H, d_k).transpose(0, 2, 1, 3)
+        vh = precomputed_kv[1].reshape(Bm, S, H, d_k
+                                       ).transpose(0, 2, 1, 3)
+        logits = jnp.einsum("bhtd,bhsd->bhts", qh * scale, kh * scale,
+                            preferred_element_type=jnp.float32)
         if mask is not None:
             logits = logits + mask
         w = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         out = jnp.einsum("bhts,bhsd->bhtd", w.astype(self.dtype),
                          vh.astype(self.dtype),
                          preferred_element_type=jnp.float32)
-        if quant:
-            out = out * vs_h
         out = out.transpose(0, 2, 1, 3).reshape(Bm, Tq, self.n_state)
         if fold:
             out = out.reshape(B, T, self.n_state)
@@ -499,10 +505,18 @@ class WhisperModel:
         The decode loop re-reads the entire cross-KV ([B, 1500, D] per
         layer) every step; unlike the weights this traffic scales with the
         batch, making it the decode stage's bound resource on large-v3.
-        int8 halves it. Scales stay per (row, channel) so one loud
-        channel cannot flatten the rest; dequantization folds into the
-        attention dots (see MHA). Traceable — call inside the decode jit
-        right after precompute_cross_kv."""
+        int8 quarters it (vs the f32 copies XLA otherwise materializes).
+        Scales stay per (row, channel) so one loud channel cannot flatten
+        the rest; the int8 bytes are consumed directly by the fused
+        Pallas attention kernel (ops/pallas_kernels.py::xattn_int8) — no
+        dequantized copy ever reaches HBM. Traceable — call inside the
+        decode jit right after precompute_cross_kv.
+
+        Returns per layer (k8 [B, S_pad, D], k_s [B, 1, D], v8, v_s,
+        s_valid) with S zero-padded to a multiple of 32 (the int8 sublane
+        tile) and s_valid the real memory length — a STATIC int as long
+        as this runs inside the same trace as the consumer (it does: both
+        decoders quantize inside their decode jit)."""
         out = []
         for k, v in cross_kvs:
             kf = k.astype(jnp.float32)
@@ -513,7 +527,13 @@ class WhisperModel:
                               1e-6) / 127.0
             kq = jnp.round(kf / k_s).astype(jnp.int8)
             vq = jnp.round(vf / v_s).astype(jnp.int8)
-            out.append((kq, k_s, vq, v_s))
+            s_valid = kq.shape[1]
+            s_pad = -(-s_valid // 32) * 32
+            if s_pad != s_valid:
+                pad = ((0, 0), (0, s_pad - s_valid), (0, 0))
+                kq = jnp.pad(kq, pad)
+                vq = jnp.pad(vq, pad)
+            out.append((kq, k_s, vq, v_s, s_valid))
         return out
 
 

@@ -1,4 +1,16 @@
-"""Pallas TPU kernels for the CSS hot path.
+"""Pallas TPU kernels for the serving hot paths.
+
+xattn_int8 — fused int8 cross-attention for incremental Whisper decode.
+The decode loop re-reads the ENTIRE precomputed cross-attention K/V
+([B, 1500, D] per layer) every step; on large-v3 that is the decode
+stage's bound resource and, unlike the weights, it scales with the batch.
+XLA cannot consume int8 attention memories without materializing a
+dequantized f32/bf16 copy per step (measured: the convert+multiply
+dominates the while-loop body, tools/bench_decode_real.py), so this
+kernel streams the int8 bytes HBM->VMEM once and dequantizes in
+registers: logits and attention-value dots read int8 directly (k-scales
+are pre-folded into q by the caller; v-scales applied on the [T, D]
+output tile). Traffic per (layer, step) is exactly the int8 K/V bytes.
 
 masked_scm_pallas — fused masked spatial-covariance accumulation
 (the MVDR front half, mvdr_util.py:58-66 equivalent):
@@ -23,6 +35,96 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+
+def _xattn_int8_kernel(q_ref, k_ref, v_ref, vs_ref, o_ref, *, dk: int,
+                       s_valid: int):
+    """One batch row's cross-attention against int8 memory.
+
+    Blocks: q [1, T, D] bf16 (k-scales + d_k**-0.5 factors pre-folded);
+    k/v [1, S_pad, D] int8 (rows >= s_valid are zero padding); vs [1, D]
+    f32 v-scales; out [1, T, D] f32.
+
+    Heads are processed in 128-lane groups (g = 128//dk heads per group,
+    whisper large: dk=64 -> 2) so every VMEM lane slice is tile-aligned;
+    within a group, head i's logits come from a dot with q's other lanes
+    zeroed (exact: the contraction only sees head i's channels), and the
+    value dots write disjoint lane ranges selected by mask."""
+    q = q_ref[0]                                   # [T, D] bf16
+    k = k_ref[0]                                   # [S_pad, D] int8
+    v = v_ref[0]
+    vs = vs_ref[0, 0]                              # [D] f32 (via [1,1,D])
+    T, D = q.shape
+    S_pad = k.shape[0]
+    lanes = min(D, 128)
+    g = max(lanes // dk, 1)
+    n_groups = D // (g * dk)
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (T, S_pad), 1)
+    s_mask = s_iota >= s_valid
+    lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, g * dk), 1)
+
+    outs = []
+    for grp in range(n_groups):
+        sl = slice(grp * g * dk, (grp + 1) * g * dk)
+        qg = q[:, sl]                              # [T, g*dk] bf16
+        kg = k[:, sl].astype(jnp.bfloat16)         # [S_pad, g*dk]
+        vg = v[:, sl].astype(jnp.bfloat16)
+        og = jnp.zeros((T, g * dk), jnp.float32)
+        for i in range(g):
+            head_lanes = (lane_iota // dk) == i
+            qi = jnp.where(head_lanes, qg, jnp.bfloat16(0.0))
+            lg = jax.lax.dot_general(
+                qi, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [T, S_pad]
+            lg = jnp.where(s_mask, -1e30, lg)
+            m = jnp.max(lg, axis=-1, keepdims=True)
+            p = jnp.exp(lg - m)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            oi = jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [T, g*dk]
+            og = jnp.where(head_lanes, oi, og)
+        outs.append(og)
+    o = outs[0] if n_groups == 1 else jnp.concatenate(outs, axis=-1)
+    o_ref[0] = o * vs[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("dk", "s_valid", "interpret"))
+def xattn_int8(q_eff: jnp.ndarray, k8: jnp.ndarray, v8: jnp.ndarray,
+               v_scale: jnp.ndarray, dk: int, s_valid: int,
+               interpret: bool = False) -> jnp.ndarray:
+    """Fused int8 cross-attention (decode path).
+
+    q_eff: [B, T, D] bf16 — query with per-channel k-scales AND the two
+    d_k**-0.25 attention scale factors already folded in;
+    k8/v8: [B, S_pad, D] int8 (S_pad a multiple of 32, zero-padded past
+    s_valid); v_scale: [B, D] f32. Returns [B, T, D] f32 attention output
+    (pre-out-projection), v-scales applied.
+    """
+    B, T, D = q_eff.shape
+    S_pad = k8.shape[1]
+    assert S_pad % 32 == 0 and k8.dtype == jnp.int8
+    # [B, 1, D]: trailing block dims must equal the array's (TPU tiling)
+    v_scale3 = v_scale.reshape(B, 1, D)
+    kern = functools.partial(_xattn_int8_kernel, dk=dk, s_valid=s_valid)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, D), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, D), jnp.float32),
+        interpret=interpret,
+    )(q_eff, k8, v8, v_scale3)
 
 
 def _scm_kernel(wta_ref, xr_ref, xi_ref, rr_ref, ri_ref):
