@@ -136,7 +136,7 @@ def main():
     total_audio = B * secs
 
     # ---- CSS engine (identical to bench.py) ------------------------------
-    css_cfg = CssCfg(seg_chunk=8, seg_bucket_multiple=16)
+    css_cfg = CssCfg(seg_chunk=32, seg_bucket_multiple=16)
     cdtype = {"float32": jnp.float32,
               "bfloat16": jnp.bfloat16}[css_cfg.compute_dtype]
     cmodel = CssModel(ConformerCssConfig(
@@ -227,7 +227,8 @@ def main():
         # chip for ASR mel + diar embedding windows; the host only gets
         # the one copy it needs for the wav-file cache contract
         per_session_wavs, (wav_dev, scales_dev, n_reals) = \
-            engine.separate_sessions_batch(mixes, fs, return_device=True)
+            engine.separate_sessions_batch(mixes, fs, return_device=True,
+                                           defer_host=True)
         stage_t["css"] = time.time() - t0
         print(f"{tag}: css done in {stage_t['css']:.1f}s", file=sys.stderr,
               flush=True)

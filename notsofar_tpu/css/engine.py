@@ -70,7 +70,10 @@ class CssCfg:
     pass_through_ch0: bool = False
     slice_audio_for_debug: bool = False
     # TPU-specific knobs (new):
-    seg_chunk: int = 8          # windows per Conformer dispatch
+    seg_chunk: int = 32         # windows per Conformer lax.map step; the
+    #   real-chip sweep (tools/profile_css.py: 15.7s at 8, 10.6s at 32,
+    #   11.9s at 80 for 8x120s sessions) puts the knee at 32 — enough rows
+    #   to fill the MXU without spilling the fused MVDR intermediates
     seg_bucket_multiple: int = 16  # num_segments padded to a multiple of this
     compute_dtype: str = "bfloat16"  # Conformer matmul dtype for serving
     use_pallas_scm: bool = False  # Pallas kernel for the masked-SCM op
@@ -198,6 +201,16 @@ class CssEngine:
         mask_floor_db = cfg.mc_mask_floor_db if C > 1 else cfg.sc_mask_floor_db
         mask_floor = 10.0 ** (mask_floor_db / 20.0) if np.isfinite(mask_floor_db) else 0.0
 
+        # window gather: segments start at k*hop with T == 2*hop, so every
+        # window is an adjacent PAIR of hop-wide slots — two block gathers
+        # on a [Sb, F, num_seg+1, hop, C] slot grid. The previous
+        # vmap(dynamic_slice) formulation lowered to a per-element gather
+        # moving ~0.6 GB/s (tools/bench_gather.py) and dominated the
+        # separation program.
+        two_slot = (T == 2 * hop_frames and Tpad == (num_seg + 1) * hop_frames)
+        if two_slot:
+            slots = stft_pad.reshape(Sb, F, num_seg + 1, hop_frames, C)
+
         def gather_one(seg_id):
             b = seg_id // num_seg
             k = seg_id % num_seg
@@ -207,7 +220,14 @@ class CssEngine:
 
         def sep_chunk(chunk_idx):
             seg_ids = chunk_idx * chunk + jnp.arange(chunk)
-            seg_chunk_c = jax.vmap(gather_one)(seg_ids)   # [chunk, F, T, C]
+            if two_slot:
+                b = seg_ids // num_seg
+                k = seg_ids % num_seg
+                left = slots[b, :, k]          # [chunk, F, hop, C]
+                right = slots[b, :, k + 1]
+                seg_chunk_c = jnp.concatenate([left, right], axis=2)
+            else:
+                seg_chunk_c = jax.vmap(gather_one)(seg_ids)  # [chunk,F,T,C]
             model_in = seg_chunk_c if C > 1 else seg_chunk_c[..., 0]
             masks = self.model.separate(variables, model_in)
             spk_m, noi_m = masks["spk_masks"], masks["noise_masks"]
@@ -307,7 +327,8 @@ class CssEngine:
 
     # ---- batched multi-session entry -----------------------------------
     def separate_sessions_batch(self, speech_mixes: List[np.ndarray], fs: int,
-                                return_device: bool = False):
+                                return_device: bool = False,
+                                defer_host: bool = False):
         """Separate several sessions in one dispatch (same mic count; padded
         to a common segment bucket). Returns per-session stream lists.
 
@@ -315,7 +336,16 @@ class CssEngine:
         (wav_i16 [Sb, S, N] jnp, scales [Sb, S], real sample counts) so
         downstream stages (ASR mel, diarization embedding windows) can
         consume the separated audio WITHOUT re-uploading it — over a
-        narrow host<->device link the re-upload dominates the pipeline."""
+        narrow host<->device link the re-upload dominates the pipeline.
+
+        defer_host=True (requires return_device) returns a LAZY host list:
+        the ~tens-of-MB device->host stream is issued asynchronously here
+        (copy_to_host_async) and materialized on first index — consumers
+        that only need the host wavs later (wav-file writes after the ASR
+        stage) overlap the download with the next stage's device work
+        instead of blocking the CSS stage on it. The call still blocks on
+        the (tiny) scales array so the separation compute itself is fully
+        accounted to this stage."""
         cfg = self.cfg
         geo = self.seg_geometry(fs)
         T, hop = geo["seg_frames"], geo["hop_frames"]
@@ -352,13 +382,18 @@ class CssEngine:
             self.variables, jnp.asarray(wav_pad), jnp.asarray(wgs),
             jnp.asarray(valid), num_seg, T, hop,
             geo["dilation"], geo["erosion"], want_side_info=False)
+        n_reals = [(mf - 1) * self.frame_hop + self.frame_len
+                   for mf in infos]
+        if defer_host and return_device:
+            wav_dev.copy_to_host_async()
+            scales = np.asarray(scales_dev)   # sync: compute is done here
+            out = _LazyHostWavs(wav_dev, scales, n_reals, cfg.num_spks)
+            return out, (wav_dev, scales_dev, n_reals)
         wav_i16 = np.asarray(wav_dev)
         scales = np.asarray(scales_dev)
         out = []
-        n_reals = []
         for b, mix in enumerate(speech_mixes):
-            n_real = (infos[b] - 1) * self.frame_hop + self.frame_len
-            n_reals.append(n_real)
+            n_real = n_reals[b]
             wavs = wav_i16[b, :, :n_real].astype(np.float32) / scales[b][:, None]
             out.append([wavs[i] for i in range(cfg.num_spks)])
         if return_device:
@@ -437,6 +472,40 @@ class CssEngine:
             side_info["mask_stitched"] = mask_stitched[:, :mix_frames]
             side_info["activity_final"] = np.asarray(act)[:mix_frames]
         return [wavs[i] for i in range(cfg.num_spks)], side_info
+
+
+class _LazyHostWavs:
+    """Per-session separated-stream lists materialized on first access.
+
+    Holds the device wav_i16 whose host stream was already issued with
+    copy_to_host_async; indexing blocks only if the async copy has not
+    finished yet (by design it drains behind the next stage's compute)."""
+
+    def __init__(self, wav_dev, scales: np.ndarray, n_reals: List[int],
+                 num_spks: int):
+        self._wav_dev = wav_dev
+        self._scales = scales
+        self._n_reals = n_reals
+        self._num_spks = num_spks
+        self._host: Optional[list] = None
+
+    def _materialize(self):
+        if self._host is None:
+            wav_i16 = np.asarray(self._wav_dev)
+            self._host = [
+                [(wav_i16[b, i, :n].astype(np.float32) / self._scales[b, i])
+                 for i in range(self._num_spks)]
+                for b, n in enumerate(self._n_reals)]
+        return self._host
+
+    def __getitem__(self, b):
+        return self._materialize()[b]
+
+    def __len__(self):
+        return len(self._n_reals)
+
+    def __iter__(self):
+        return iter(self._materialize())
 
 
 def _weighted_ola(segs: jnp.ndarray, wg: jnp.ndarray, hop: int, t_pad: int

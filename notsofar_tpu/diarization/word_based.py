@@ -164,11 +164,17 @@ def extract_embeddings_bucketed(encoder, wavs: np.ndarray, sr: int,
         specs, w_idx, s_idx, keep = [], [], [], []
         offset = 0
         for blen, items in sorted(buckets.items()):
-            # chunk count rounds to a power of two so the one-dispatch
-            # program compiles O(log) times per bucket across sessions
-            n_chunks = 1 << max(
-                int(math.ceil(math.log2(max(
-                    math.ceil(len(items) / batch_size), 1)))), 0)
+            # chunk count rounds UP the {1, 1.5} x 2^k ladder: at most two
+            # compiles per octave across sessions (the persistent cache
+            # keeps them), and row padding <= 33% — the old power-of-two
+            # rounding padded the embed load up to 2x (13776 real windows
+            # ran as 24576 rows in the r3 bench)
+            need = max(math.ceil(len(items) / batch_size), 1)
+            n_chunks = 1
+            while n_chunks < need:
+                n_chunks *= 2
+            if n_chunks > 2 and need <= 3 * n_chunks // 4:
+                n_chunks = 3 * n_chunks // 4
             M = n_chunks * batch_size
             chans = np.zeros(M, np.int32)
             starts = np.zeros(M, np.int32)

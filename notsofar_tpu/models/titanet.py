@@ -344,15 +344,23 @@ class SpeakerEncoder:
         """Gather [B, blen] windows out of on-device session audio, embed.
 
         session_wavs: [C, L + blen] (zero right-padded by blen so a slice
-        starting anywhere < L never gets shifted back by dynamic_slice's
-        clamping); chans/starts/lengths_samples: [B]."""
-
-        def one(ch, s0):
-            row = jax.lax.dynamic_index_in_dim(session_wavs, ch, 0,
-                                               keepdims=False)
-            return jax.lax.dynamic_slice(row, (s0,), (blen,))
-
-        wavs = jax.vmap(one)(chans, starts)
+        starting anywhere < L never reads past the buffer); chans/starts/
+        lengths_samples: [B]. The gather is ONE flat lax.gather with
+        slice_sizes=(blen,) — vmap(dynamic_index + dynamic_slice) lowers
+        to a pathological per-element gather moving ~0.6 GB/s on v5e and
+        dominated the whole diarization stage (tools/bench_gather.py:
+        flat gather 7.0 ms vs vmap 89.8 ms for 256 x 3 s windows)."""
+        W = session_wavs.shape[1]
+        flat = session_wavs.reshape(-1)
+        s0 = jnp.minimum(starts, W - blen)     # row-local clamp, matching
+        #   dynamic_slice semantics: never read into the next channel
+        idx = (chans * W + s0)[:, None]
+        wavs = jax.lax.gather(
+            flat, idx,
+            jax.lax.GatherDimensionNumbers(
+                offset_dims=(1,), collapsed_slice_dims=(),
+                start_index_map=(0,)),
+            slice_sizes=(blen,), mode="clip")
         mask = jnp.arange(blen)[None, :] < lengths_samples[:, None]
         wavs = jnp.where(mask, wavs, 0.0)
         feats = titanet_features(wavs, lengths=lengths_samples)

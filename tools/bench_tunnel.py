@@ -62,10 +62,12 @@ def main():
         print(f"upload {mb} MB: {min(ts):.2f} s -> "
               f"{mb / min(ts):.0f} MB/s", flush=True)
 
-    # download bandwidth
+    # download bandwidth: COMPUTED data (zeros can be elided) + subtract
+    # the ~24 ms sync latency via two sizes
     for mb in (16, 128):
         d = jax.block_until_ready(
-            jnp.zeros(mb * (1 << 20) // 4, jnp.float32))
+            jax.jit(lambda k: jax.random.uniform(k, (mb * (1 << 20) // 4,))
+                    )(jax.random.PRNGKey(0)))
         ts = []
         for _ in range(3):
             t0 = time.time()
@@ -74,20 +76,48 @@ def main():
         print(f"download {mb} MB: {min(ts):.2f} s -> "
               f"{mb / min(ts):.0f} MB/s", flush=True)
 
-    # sustained matmul throughput sanity (MXU): how much of peak a plain
-    # big bf16 matmul achieves through this backend
-    n = 8192
-    a = jnp.ones((n, n), jnp.bfloat16)
-    g = jax.jit(lambda a: a @ a)
-    jax.block_until_ready(g(a))
+    # sustained matmul throughput (MXU): loop INSIDE the program so the
+    # ~24 ms sync round-trip amortizes over many matmuls
+    n, iters = 8192, 32
+    a = jnp.ones((n, n), jnp.bfloat16) * 0.001
+
+    @jax.jit
+    def g(a):
+        def body(x, _):
+            return x @ a, ()
+        y, _ = jax.lax.scan(body, a, None, length=iters)
+        return jnp.sum(y)
+
+    np.asarray(g(a))
     ts = []
     for _ in range(5):
         t0 = time.time()
-        jax.block_until_ready(g(a))
+        np.asarray(g(a))
         ts.append(time.time() - t0)
-    fl = 2 * n ** 3 / min(ts)
-    print(f"bf16 {n}x{n} matmul: {min(ts) * 1e3:.1f} ms -> "
-          f"{fl / 1e12:.1f} TFLOP/s", flush=True)
+    fl = 2 * n ** 3 * iters / min(ts)
+    print(f"bf16 {n}x{n} matmul x{iters}: {min(ts) * 1e3:.1f} ms -> "
+          f"{fl / 1e12:.1f} TFLOP/s sustained", flush=True)
+
+    # sustained HBM bandwidth: big elementwise op looped in-program
+    m = 1 << 28   # 256M f32 = 1 GB
+    v = jnp.ones((m,), jnp.float32)
+
+    @jax.jit
+    def h(v):
+        def body(x, _):
+            return x * 1.0000001 + 1e-9, ()
+        y, _ = jax.lax.scan(body, v, None, length=8)
+        return jnp.sum(y)
+
+    np.asarray(h(v))
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        np.asarray(h(v))
+        ts.append(time.time() - t0)
+    gbps = 8 * 2 * m * 4 / min(ts) / 1e9
+    print(f"elementwise 1GB x8 rounds: {min(ts) * 1e3:.1f} ms -> "
+          f"{gbps:.0f} GB/s HBM (r+w)", flush=True)
 
 
 if __name__ == "__main__":
