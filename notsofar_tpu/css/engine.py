@@ -325,27 +325,13 @@ class CssEngine:
             mask_stitched = jnp.zeros((0,), jnp.float32)
         return wav_i16, scale[..., 0], mask_stitched, act
 
-    # ---- batched multi-session entry -----------------------------------
-    def separate_sessions_batch(self, speech_mixes: List[np.ndarray], fs: int,
-                                return_device: bool = False,
-                                defer_host: bool = False):
-        """Separate several sessions in one dispatch (same mic count; padded
-        to a common segment bucket). Returns per-session stream lists.
-
-        return_device=True additionally returns the raw on-device outputs
-        (wav_i16 [Sb, S, N] jnp, scales [Sb, S], real sample counts) so
-        downstream stages (ASR mel, diarization embedding windows) can
-        consume the separated audio WITHOUT re-uploading it — over a
-        narrow host<->device link the re-upload dominates the pipeline.
-
-        defer_host=True (requires return_device) returns a LAZY host list:
-        the ~tens-of-MB device->host stream is issued asynchronously here
-        (copy_to_host_async) and materialized on first index — consumers
-        that only need the host wavs later (wav-file writes after the ASR
-        stage) overlap the download with the next stage's device work
-        instead of blocking the CSS stage on it. The call still blocks on
-        the (tiny) scales array so the separation compute itself is fully
-        accounted to this stage."""
+    # ---- pipelined ingest: prepare (host) / upload (any thread) / run ---
+    def prepare_sessions(self, speech_mixes: List[np.ndarray], fs: int
+                         ) -> Dict:
+        """Host-side batch prep: int16 quantization + padding + OLA weight
+        matrices. Pure numpy — safe to run on an ingest thread so the NEXT
+        batch's prep overlaps the current batch's device work (the host
+        link moves ~30 MB/s; serving pipelines must hide it)."""
         cfg = self.cfg
         geo = self.seg_geometry(fs)
         T, hop = geo["seg_frames"], geo["hop_frames"]
@@ -353,7 +339,8 @@ class CssEngine:
         from notsofar_tpu.ops.stft import num_frames
         infos = []
         for mix in speech_mixes:
-            mf = max(num_frames(mix.shape[1], self.frame_len, self.frame_hop), T)
+            mf = max(num_frames(mix.shape[1], self.frame_len,
+                                self.frame_hop), T)
             infos.append(mf)
         num_seg_max = max(int(np.ceil((mf - overlap) / hop)) for mf in infos)
         bucket = cfg.seg_bucket_multiple
@@ -378,14 +365,112 @@ class CssEngine:
             nseg_real = int(np.ceil((mf - overlap) / hop))
             wgs[b] = build_weight_matrix(nseg_real, num_seg, T,
                                          geo["m0"], geo["m1"])
-        wav_dev, scales_dev, _, _ = self._process_core(
-            self.variables, jnp.asarray(wav_pad), jnp.asarray(wgs),
-            jnp.asarray(valid), num_seg, T, hop,
-            geo["dilation"], geo["erosion"], want_side_info=False)
         n_reals = [(mf - 1) * self.frame_hop + self.frame_len
                    for mf in infos]
+        return dict(wav_pad=wav_pad, wgs=wgs, valid=valid, num_seg=num_seg,
+                    T=T, hop=hop, geo=geo, n_reals=n_reals)
+
+    def upload_sessions(self, prep: Dict) -> Dict:
+        """Start the host->device transfers for a prepared batch. Callable
+        from an ingest thread: jax transfers are thread-safe and the
+        returned handles can be consumed by separate_uploaded on the main
+        thread, hiding the ~seconds-scale audio upload behind the previous
+        batch's compute.
+
+        The batch uploads as ONE PIECE PER CHANNEL (~4 MB each), not one
+        monolithic array: the device tunnel serializes RPCs on a single
+        connection, so a ~200 MB upload head-of-line-blocks every dispatch
+        and sync the MAIN thread issues meanwhile (measured: the overlapped
+        decode stage doubled, +6 s). Small pieces let the decode loop's
+        messages interleave between slices; the on-device stack costs one
+        fused copy."""
+        up = dict(prep)
+        del up["wav_pad"], up["wgs"], up["valid"]
+        wav_pad = prep["wav_pad"]
+        B, C, N = wav_pad.shape
+        flat = wav_pad.reshape(-1)
+        q = 1 << 20                       # 2 MB int16 pieces (~70 ms each)
+        parts = [jnp.asarray(flat[i:i + q])
+                 for i in range(0, flat.size, q)]
+        up["wav"] = jnp.concatenate(parts).reshape(B, C, N)
+        up["wg"] = jnp.asarray(prep["wgs"])
+        up["valid"] = jnp.asarray(prep["valid"])
+        return up
+
+    def separate_uploaded(self, up: Dict
+                          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Run the fused separation program on uploaded handles. Returns
+        (wav_i16 [Sb, S, N] device, scales [Sb, S] device)."""
+        geo = up["geo"]
+        wav_dev, scales_dev, _, _ = self._process_core(
+            self.variables, up["wav"], up["wg"], up["valid"],
+            up["num_seg"], up["T"], up["hop"],
+            geo["dilation"], geo["erosion"], want_side_info=False)
+        return wav_dev, scales_dev
+
+    def separate_uploaded_lazy(self, up: Dict):
+        """separate_uploaded + deferred host copy (see
+        separate_sessions_batch defer_host): returns
+        (lazy host wav lists, (wav_dev, scales_dev, n_reals)).
+
+        The big wav download is NOT started here: the scales sync must not
+        queue behind a ~100 MB host stream (measured +3.7 s on the CSS
+        stage), and an eager async copy contends with the next batch's
+        ingest upload during ASR (+3.5 s on mel). First host access —
+        the diar stage's wav-writer thread — pulls it while diarization's
+        device work runs, when the link is idle."""
+        wav_dev, scales_dev = self.separate_uploaded(up)
+        scales = np.asarray(scales_dev)   # sync: compute is done here
+        out = _LazyHostWavs(wav_dev, scales, up["n_reals"],
+                            self.cfg.num_spks)
+        return out, (wav_dev, scales_dev, up["n_reals"])
+
+    # ---- batched multi-session entry -----------------------------------
+    def separate_sessions_batch(self, speech_mixes: List[np.ndarray], fs: int,
+                                return_device: bool = False,
+                                defer_host: bool = False):
+        """Separate several sessions in one dispatch (same mic count; padded
+        to a common segment bucket). Returns per-session stream lists.
+
+        return_device=True additionally returns the raw on-device outputs
+        (wav_i16 [Sb, S, N] jnp, scales [Sb, S], real sample counts) so
+        downstream stages (ASR mel, diarization embedding windows) can
+        consume the separated audio WITHOUT re-uploading it — over a
+        narrow host<->device link the re-upload dominates the pipeline.
+
+        defer_host=True (requires return_device) returns a LAZY host list:
+        the ~tens-of-MB device->host stream happens on first index —
+        consumers that only need the host wavs later (wav-file writes
+        under the diar batch call) pull it when the link is otherwise
+        idle instead of blocking the CSS stage on it. The call still
+        blocks on the (tiny) scales array so the separation compute
+        itself is fully accounted to this stage."""
+        import os
+        import time as _time
+        dbg = os.environ.get("NOTSOFAR_CSS_DEBUG")
+        marks = [("start", _time.time())]
+
+        def mark(name):
+            if dbg:
+                marks.append((name, _time.time()))
+
+        prep = self.prepare_sessions(speech_mixes, fs)
+        mark("host-prep")
+        up = self.upload_sessions(prep)
+        jax.block_until_ready(up["wav"]) if dbg else None
+        mark("upload")
+        wav_dev, scales_dev = self.separate_uploaded(up)
+        if dbg:
+            import sys as _sys
+            jax.block_until_ready(scales_dev)
+            mark("dispatch+compute")
+            spans = {b: round(tb - ta, 2) for (_, ta), (b, tb)
+                     in zip(marks, marks[1:])}
+            print(f"css batch phases: {spans}", file=_sys.stderr,
+                  flush=True)
+        cfg = self.cfg
+        n_reals = prep["n_reals"]
         if defer_host and return_device:
-            wav_dev.copy_to_host_async()
             scales = np.asarray(scales_dev)   # sync: compute is done here
             out = _LazyHostWavs(wav_dev, scales, n_reals, cfg.num_spks)
             return out, (wav_dev, scales_dev, n_reals)
