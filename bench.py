@@ -131,7 +131,7 @@ if __name__ == "__main__":
         import bench_pipeline
         argv = sys.argv[1:]
         for flag, dflt in (("--sessions", "8"), ("--seconds", "120"),
-                           ("--repeats", "2")):
+                           ("--repeats", "4")):
             if flag not in argv:
                 argv += [flag, dflt]
         sys.argv = [sys.argv[0]] + argv

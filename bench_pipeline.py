@@ -231,8 +231,13 @@ def main():
     pool = ThreadPoolExecutor(max_workers=1)
 
     def ingest():
+        t0 = time.time()
         prep = engine.prepare_sessions(mixes, fs)
-        return engine.upload_sessions(prep)
+        t1 = time.time()
+        up = engine.upload_sessions(prep)
+        print(f"[ingest] prep {t1 - t0:.1f}s upload {time.time() - t1:.1f}s",
+              file=sys.stderr, flush=True)
+        return up
 
     def run(tag, up_fut, stage_out=None):
         stage_t = stage_out if stage_out is not None else {}
@@ -329,6 +334,12 @@ def main():
     run("warmup", ingest())
     print(f"warmup+compile: {time.time() - t0:.1f}s", file=sys.stderr)
 
+    # ingest placement (measured, tools/bench_overlap.py + A/B runs):
+    # submit the next batch's ingest at run start — the unthrottled burst
+    # drains under the encode/decode phases, whose few long device waits
+    # tolerate it best (~4 s absorbed). Bursting under the diar window
+    # instead tripled that stage (its many small syncs + the lazy wav
+    # download all queue behind the backlog).
     best = 0.0
     best_stages = None
     fut = pool.submit(ingest)

@@ -377,21 +377,29 @@ class CssEngine:
         thread, hiding the ~seconds-scale audio upload behind the previous
         batch's compute.
 
-        The batch uploads as ONE PIECE PER CHANNEL (~4 MB each), not one
-        monolithic array: the device tunnel serializes RPCs on a single
-        connection, so a ~200 MB upload head-of-line-blocks every dispatch
-        and sync the MAIN thread issues meanwhile (measured: the overlapped
-        decode stage doubled, +6 s). Small pieces let the decode loop's
-        messages interleave between slices; the on-device stack costs one
-        fused copy."""
+        The batch uploads as ~2 MB pieces (device-side concatenate at the
+        end). `throttle` trades upload speed for politeness: device_put is
+        async, so unthrottled pieces enqueue as one fast back-to-back
+        backlog (~5 s for 215 MB) that delays any concurrent dispatch/sync
+        by up to the backlog length, while throttle=True blocks per piece
+        (at most one in flight — concurrent rounds stay near baseline,
+        tools/bench_overlap.py) but the upload itself crawls 2-3x under
+        pipeline load (measured 21-26 s vs 10 s). Serving schedules the
+        UNTHROTTLED burst where the consumer tolerates it (the diarization
+        window; bench_pipeline.py::run)."""
+        throttle = prep.get("throttle", False)
         up = dict(prep)
         del up["wav_pad"], up["wgs"], up["valid"]
         wav_pad = prep["wav_pad"]
         B, C, N = wav_pad.shape
         flat = wav_pad.reshape(-1)
         q = 1 << 20                       # 2 MB int16 pieces (~70 ms each)
-        parts = [jnp.asarray(flat[i:i + q])
-                 for i in range(0, flat.size, q)]
+        parts = []
+        for i in range(0, flat.size, q):
+            p = jnp.asarray(flat[i:i + q])
+            if throttle:
+                jax.block_until_ready(p)  # at most one piece in flight
+            parts.append(p)
         up["wav"] = jnp.concatenate(parts).reshape(B, C, N)
         up["wg"] = jnp.asarray(prep["wgs"])
         up["valid"] = jnp.asarray(prep["valid"])

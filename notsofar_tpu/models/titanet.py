@@ -118,6 +118,38 @@ def titanet_features(audio: jnp.ndarray, sr: int = 16000,
     return out
 
 
+class DepthwiseConv(nn.Module):
+    """Depthwise ('same') conv over time with a Pallas fast path.
+
+    Param tree matches nn.Conv(feature_group_count=C): {"kernel":
+    [k, 1, C]} — NeMo checkpoints convert onto it unchanged
+    (titanet_convert._dw). XLA lowers channels-as-groups convs at ~2.3x
+    their HBM roofline on v5e and TitaNet-large runs 11 of them per
+    forward — more time than all its matmuls — so on TPU the taps run as
+    k in-register FMAs (ops/pallas_kernels.py::depthwise_conv1d); other
+    backends (tests, parity oracles) keep the lax grouped conv, which is
+    exactly what nn.Conv calls."""
+    kernel: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        C = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kernel, 1, C))
+        pad = (self.kernel - 1) // 2
+        if (jax.default_backend() == "tpu" and self.kernel > 1
+                and C % 128 == 0):
+            from notsofar_tpu.ops.pallas_kernels import depthwise_conv1d
+            out = depthwise_conv1d(x.astype(self.dtype), w[:, 0, :],
+                                   self.kernel)
+            return out.astype(self.dtype)
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), w.astype(self.dtype), (1,),
+            [(pad, pad)], dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=C)
+
+
 class SeparableConv(nn.Module):
     filters: int
     kernel: int
@@ -126,10 +158,7 @@ class SeparableConv(nn.Module):
     @nn.compact
     def __call__(self, x):
         """x: [B, T, C]."""
-        pad = (self.kernel - 1) // 2
-        x = nn.Conv(x.shape[-1], kernel_size=(self.kernel,),
-                    padding=[(pad, pad)], feature_group_count=x.shape[-1],
-                    use_bias=False, dtype=self.dtype, name="dw")(x)
+        x = DepthwiseConv(self.kernel, self.dtype, name="dw")(x)
         x = nn.Conv(self.filters, kernel_size=(1,), use_bias=False,
                     dtype=self.dtype, name="pw")(x)
         return x

@@ -127,6 +127,54 @@ def xattn_int8(q_eff: jnp.ndarray, k8: jnp.ndarray, v8: jnp.ndarray,
     )(q_eff, k8, v8, v_scale3)
 
 
+def _dwconv1d_kernel(x_ref, w_ref, o_ref, *, k: int):
+    """One batch row's depthwise conv. Blocks: x [1, T+k-1, C] bf16
+    (caller pre-pads time by (k-1)//2 each side); w [k, C] f32;
+    out [1, T, C] f32. out[t, c] = sum_i x[t+i, c] * w[i, c] — k shifted
+    VPU FMAs over a [T, C] tile held in registers/VMEM."""
+    xp = x_ref[0]                                   # [T+k-1, C]
+    w = w_ref[...]                                  # [k, C] f32
+    T = o_ref.shape[1]
+    acc = jnp.zeros((T, xp.shape[1]), jnp.float32)
+    for i in range(k):
+        acc = acc + xp[i:i + T, :].astype(jnp.float32) * w[i][None, :]
+    o_ref[0] = acc
+
+
+@functools.partial(jax.jit, static_argnames=("k", "interpret"))
+def depthwise_conv1d(x: jnp.ndarray, w: jnp.ndarray, k: int,
+                     interpret: bool = False) -> jnp.ndarray:
+    """'Same'-padded depthwise conv over time, one batch row per grid step.
+
+    x: [B, T, C]; w: [k, C] per-channel taps (flax Conv feature_group_
+    count=C kernel [k, 1, C] squeezed). Returns [B, T, C] f32, exactly
+    nn.Conv(C, (k,), feature_group_count=C, use_bias=False)(x).
+
+    XLA lowers channels-as-groups conv to ~2.3 ms per [256, 304, 1024]
+    tile on v5e — 2.3x its HBM roofline — and TitaNet-large runs 11 of
+    them per forward, so the grouped convs cost more than all of the
+    model's matmuls combined (tools/bench_depthwise.py). This kernel
+    streams each row once and does the k taps as in-register FMAs."""
+    B, T, C = x.shape
+    pad = (k - 1) // 2
+    xp = jnp.pad(x, ((0, 0), (pad, k - 1 - pad), (0, 0)))
+    kern = functools.partial(_dwconv1d_kernel, k=k)
+    return pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, T + k - 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.float32),
+        interpret=interpret,
+    )(xp, w.astype(jnp.float32))
+
+
 def _scm_kernel(wta_ref, xr_ref, xi_ref, rr_ref, ri_ref):
     """Blocks: wta [1,1,Fb,T]; xr/xi [1,Fb,M,T]; out [1,1,Fb,M,M]."""
     w = wta_ref[0, 0]              # [Fb, T]

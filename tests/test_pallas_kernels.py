@@ -38,3 +38,42 @@ def test_masked_scm_pallas_small_shapes():
     want = np.asarray(masked_scm(wta, x))
     got = np.asarray(masked_scm_pallas(wta, x, f_block=8, interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_depthwise_conv1d_matches_grouped_conv():
+    """depthwise_conv1d == nn.Conv(feature_group_count=C) bit-for-intent
+    (f32 accumulate vs conv's f32 preferred type; 1e-5 rel)."""
+    import flax.linen as nn
+    from notsofar_tpu.ops.pallas_kernels import depthwise_conv1d
+
+    rng = np.random.RandomState(2)
+    B, T, C = 3, 40, 256
+    for k in (3, 7, 15):
+        x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+        w = jnp.asarray(rng.randn(k, 1, C).astype(np.float32) * 0.2)
+        conv = nn.Conv(C, kernel_size=(k,), padding=[((k - 1) // 2,
+                                                      (k - 1) // 2)],
+                       feature_group_count=C, use_bias=False)
+        want = np.asarray(conv.apply({"params": {"kernel": w}}, x))
+        got = np.asarray(depthwise_conv1d(x, w[:, 0, :], k,
+                                          interpret=True))
+        rel = np.abs(got - want).max() / np.abs(want).max()
+        assert rel < 1e-5, (k, rel)
+
+
+def test_titanet_depthwise_module_matches_nn_conv():
+    """The DepthwiseConv module's lax path (the non-TPU branch tests run
+    on) equals flax nn.Conv with the same param tree."""
+    import flax.linen as nn
+    from notsofar_tpu.models.titanet import DepthwiseConv
+
+    rng = np.random.RandomState(3)
+    B, T, C, k = 2, 50, 128, 7
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    w = jnp.asarray(rng.randn(k, 1, C).astype(np.float32) * 0.2)
+    mod = DepthwiseConv(k)
+    got = np.asarray(mod.apply({"params": {"kernel": w}}, x))
+    conv = nn.Conv(C, kernel_size=(k,), padding=[((k - 1) // 2,) * 2],
+                   feature_group_count=C, use_bias=False)
+    want = np.asarray(conv.apply({"params": {"kernel": w}}, x))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
