@@ -131,6 +131,13 @@ def main():
     import pandas as pd
 
     print(f"device: {jax.devices()[0]}", file=sys.stderr)
+
+    _t_setup = time.time()
+
+    def _mark(what):
+        print(f"[setup +{time.time() - _t_setup:.0f}s] {what}",
+              file=sys.stderr, flush=True)
+
     fs = 16000
     B, secs = args.sessions, args.seconds
     total_audio = B * secs
@@ -143,6 +150,7 @@ def main():
         nnet_conf=NnetConfig(conformer_conf=large_conformer_config())),
         dtype=cdtype)
     engine = CssEngine(cmodel, cmodel.init(jax.random.PRNGKey(0)), css_cfg)
+    _mark("css model ready")
 
     # ---- ASR (large-v3 dims, bf16 compute, lockstep batch) ---------------
     dims = WHISPER_DIMS[args.asr_model]
@@ -156,9 +164,11 @@ def main():
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
         WhisperModel(dims, dtype=jnp.bfloat16).init(jax.random.PRNGKey(1)))
+    _mark("whisper params ready")
     if quant:
         from notsofar_tpu.models.whisper import quantize_whisper_decoder
         wvars = quantize_whisper_decoder(wvars)
+        _mark("whisper decoder quantized")
     tok = load_tokenizer(args.asr_model, dims.n_vocab)
     common = dict(
         word_timestamps=True,
@@ -201,9 +211,11 @@ def main():
         method="word_nmesc",
         min_embedding_windows=[3.0, 2.5, 2.0, 1.5, 1.0, 0.5])
 
+    _mark("titanet + tokenizer ready")
     rng = np.random.RandomState(0)
     mixes = [(rng.randn(1, int(secs * fs), 7) * 0.1).astype(np.float32)
              for _ in range(B)]
+    _mark("session audio synthesized")
 
     tmp = tempfile.mkdtemp(prefix="bench_pipe_")
 
