@@ -48,8 +48,13 @@ def _xattn_int8_kernel(q_ref, k_ref, v_ref, vs_ref, o_ref, *, dk: int,
     Heads are processed in 128-lane groups (g = 128//dk heads per group,
     whisper large: dk=64 -> 2) so every VMEM lane slice is tile-aligned;
     within a group, head i's logits come from a dot with q's other lanes
-    zeroed (exact: the contraction only sees head i's channels), and the
-    value dots write disjoint lane ranges selected by mask."""
+    zeroed (exact: the contraction only sees head i's channels). ALL
+    heads' logit rows are stacked into ONE [H*T, S_pad] block so the
+    masked softmax runs once per cell rather than once per head — at
+    decode (T=1) a per-head softmax burns 8x its VPU work on sublane
+    padding, which made the softmax, not the DMA, the kernel's wall —
+    and each group consumes one attention-value dot ([g*T, S] x
+    [S, g*dk]) with head i's rows selected back onto its own lanes."""
     q = q_ref[0]                                   # [T, D] bf16
     k = k_ref[0]                                   # [S_pad, D] int8
     v = v_ref[0]
@@ -59,31 +64,41 @@ def _xattn_int8_kernel(q_ref, k_ref, v_ref, vs_ref, o_ref, *, dk: int,
     lanes = min(D, 128)
     g = max(lanes // dk, 1)
     n_groups = D // (g * dk)
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (T, S_pad), 1)
-    s_mask = s_iota >= s_valid
     lane_iota = jax.lax.broadcasted_iota(jnp.int32, (T, g * dk), 1)
+    lane_head = lane_iota // dk
 
-    outs = []
+    # pass 1: logits, all heads stacked
+    rows = []
     for grp in range(n_groups):
         sl = slice(grp * g * dk, (grp + 1) * g * dk)
         qg = q[:, sl]                              # [T, g*dk] bf16
         kg = k[:, sl].astype(jnp.bfloat16)         # [S_pad, g*dk]
-        vg = v[:, sl].astype(jnp.bfloat16)
-        og = jnp.zeros((T, g * dk), jnp.float32)
         for i in range(g):
-            head_lanes = (lane_iota // dk) == i
-            qi = jnp.where(head_lanes, qg, jnp.bfloat16(0.0))
-            lg = jax.lax.dot_general(
+            qi = jnp.where(lane_head == i, qg, jnp.bfloat16(0.0))
+            rows.append(jax.lax.dot_general(
                 qi, kg, (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [T, S_pad]
-            lg = jnp.where(s_mask, -1e30, lg)
-            m = jnp.max(lg, axis=-1, keepdims=True)
-            p = jnp.exp(lg - m)
-            p = p / jnp.sum(p, axis=-1, keepdims=True)
-            oi = jax.lax.dot_general(
-                p.astype(jnp.bfloat16), vg, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)       # [T, g*dk]
-            og = jnp.where(head_lanes, oi, og)
+                preferred_element_type=jnp.float32))      # [T, S_pad]
+    lg = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+    HT = lg.shape[0]                               # n_groups * g * T
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (HT, S_pad), 1)
+    lg = jnp.where(s_iota >= s_valid, -1e30, lg)
+    m = jnp.max(lg, axis=-1, keepdims=True)
+    p = jnp.exp(lg - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+
+    # pass 2: one value dot per group (v converted group-by-group so the
+    # bf16 temps never hold more than one [S_pad, 128] slice)
+    outs = []
+    for grp in range(n_groups):
+        sl = slice(grp * g * dk, (grp + 1) * g * dk)
+        vg = v[:, sl].astype(jnp.bfloat16)         # [S_pad, g*dk]
+        pg = p[grp * g * T:(grp + 1) * g * T]      # [g*T, S_pad]
+        ov = jax.lax.dot_general(
+            pg, vg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)           # [g*T, g*dk]
+        og = ov[:T]
+        for i in range(1, g):
+            og = jnp.where(lane_head == i, ov[i * T:(i + 1) * T], og)
         outs.append(og)
     o = outs[0] if n_groups == 1 else jnp.concatenate(outs, axis=-1)
     o_ref[0] = o * vs[None, :]
@@ -100,6 +115,11 @@ def xattn_int8(q_eff: jnp.ndarray, k8: jnp.ndarray, v8: jnp.ndarray,
     k8/v8: [B, S_pad, D] int8 (S_pad a multiple of 32, zero-padded past
     s_valid); v_scale: [B, D] f32. Returns [B, T, D] f32 attention output
     (pre-out-projection), v-scales applied.
+
+    Grid is (B,): one whole-row cell per batch element. A (B, D//128)
+    lane-group grid was tried and measured 2x SLOWER (88 GB/s): 10x the
+    grid cells means 10x the DMA descriptors and per-cell fixed costs,
+    which dwarf the double-buffering win at these block sizes.
     """
     B, T, D = q_eff.shape
     S_pad = k8.shape[1]

@@ -2,12 +2,15 @@
 
 Rebuild of /root/reference/utils/azure_storage.py (host tooling — kept
 native-subprocess based). Downloads are skip-if-exists cached; azcopy is
-resolved from PATH or AZCOPY_PATH (the auto-deploy of the binary is not
-reproduced — zero-egress environments mount the data instead; see
-`local_override` / NOTSOFAR_DATA_ROOT).
+resolved from PATH or AZCOPY_PATH, and — matching the reference's
+get_azcopy_path (azure_storage.py:72-106) — self-deployed from the
+NOTSOFAR assets container into artifacts/tools/azcopy when absent
+(zero-egress environments mount the data instead; see `local_override` /
+NOTSOFAR_DATA_ROOT).
 """
 import json
 import os
+import platform
 import shutil
 import subprocess
 import time
@@ -24,25 +27,71 @@ SIMULATED_DATA_URL = ("https://notsofarsa.blob.core.windows.net/"
                       "css-datasets")
 MODELS_URL = "https://notsofarsa.blob.core.windows.net/css-models"
 
-# subset_name -> {version: relative path} (mirrors the catalog in
-# azure_storage.py:109-199 docstrings)
+# subset_name -> {version: relative path} — the FULL published catalog
+# (mirrors the versions enumerated in azure_storage.py:109-199 docstrings,
+# latest first)
 MEETING_SUBSETS = {
     "dev_set": {
         "240825.1_dev1": "dev_set/240825.1_dev1/MTG",
+        "240415.2_dev_with_GT": "dev_set/240415.2_dev_with_GT/MTG",
         "240415.2_dev": "dev_set/240415.2_dev/MTG",
         "240208.2_dev": "dev_set/240208.2_dev/MTG",
     },
     "train_set": {
         "240825.1_train": "train_set/240825.1_train/MTG",
+        "240501.1_train": "train_set/240501.1_train/MTG",
+        "240415.1_train": "train_set/240415.1_train/MTG",
+        "240229.1_train": "train_set/240229.1_train/MTG",
+        "240208.2_train": "train_set/240208.2_train/MTG",
     },
     "eval_set": {
-        "240629.1_eval_small_with_GT": "eval_set/240629.1_eval_small_with_GT/MTG",
+        "240825.1_eval_full_with_GT":
+            "eval_set/240825.1_eval_full_with_GT/MTG",
+        "240629.1_eval_small_with_GT":
+            "eval_set/240629.1_eval_small_with_GT/MTG",
+        "240629.1_eval_small": "eval_set/240629.1_eval_small/MTG",
     },
 }
 
+ASSETS_URL = "https://notsofarsa.blob.core.windows.net/assets"
+_AZCOPY_FILE_NAME = {"windows": "azcopy.exe", "linux": "azcopy",
+                     "darwin": "azcopy_mos"}
+
+
+def get_azcopy_path() -> str:
+    """PATH/AZCOPY_PATH lookup, else self-deploy the azcopy binary from
+    the NOTSOFAR assets container into artifacts/tools/azcopy (reference
+    get_azcopy_path semantics). Raises FileNotFoundError on failure."""
+    found = _find_azcopy()
+    if found:
+        return found
+    deploy_dir = Path(__file__).resolve().parents[2] / "artifacts" \
+        / "tools" / "azcopy"
+    deploy_dir.mkdir(parents=True, exist_ok=True)
+    fname = _AZCOPY_FILE_NAME.get(platform.system().lower(), "azcopy")
+    dst = deploy_dir / fname
+    if not dst.is_file():
+        _LOG.info(f"azcopy not found; deploying to {dst}")
+        subprocess.run(["curl", "-L", f"{ASSETS_URL}/azcopy/{fname}",
+                        "-o", str(dst)], check=True)
+        if not dst.is_file():
+            raise FileNotFoundError(f"failed to deploy azcopy to {dst}")
+        if platform.system().lower() != "windows":
+            dst.chmod(0o755)
+    return str(dst)
+
 
 def _find_azcopy() -> Optional[str]:
-    return os.environ.get("AZCOPY_PATH") or shutil.which("azcopy")
+    env = os.environ.get("AZCOPY_PATH")
+    if env:
+        return env
+    on_path = shutil.which("azcopy")
+    if on_path:
+        return on_path
+    deployed = Path(__file__).resolve().parents[2] / "artifacts" / "tools" \
+        / "azcopy" / _AZCOPY_FILE_NAME.get(platform.system().lower(),
+                                           "azcopy")
+    return str(deployed) if deployed.is_file() else None
 
 
 def _azcopy(src_url: str, dst: Path) -> bool:

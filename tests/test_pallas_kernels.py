@@ -40,6 +40,41 @@ def test_masked_scm_pallas_small_shapes():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_xattn_int8_matches_per_head_attention():
+    """Fused int8 cross-attention == per-head f64 softmax attention on the
+    dequantized memory (the only error left is the bf16 q/p rounding)."""
+    from notsofar_tpu.ops.pallas_kernels import xattn_int8
+
+    rng = np.random.RandomState(4)
+    for B, T, D, dk, S, s_valid in [(2, 1, 256, 64, 96, 77),
+                                    (2, 5, 384, 64, 96, 77),
+                                    (1, 1, 128, 128, 32, 20)]:
+        q = jnp.asarray(rng.randn(B, T, D).astype(np.float32) * 0.2
+                        ).astype(jnp.bfloat16)
+        k8 = jnp.asarray(rng.randint(-127, 128, (B, S, D)).astype(np.int8))
+        v8 = jnp.asarray(rng.randint(-127, 128, (B, S, D)).astype(np.int8))
+        k8 = k8.at[:, s_valid:].set(0)
+        v8 = v8.at[:, s_valid:].set(0)
+        vs = jnp.asarray(rng.rand(B, D).astype(np.float32) * 0.01)
+        got = np.asarray(xattn_int8(q, k8, v8, vs, dk, s_valid,
+                                    interpret=True))
+        qf = np.asarray(q.astype(jnp.float32), np.float64)
+        kf = np.asarray(k8, np.float64)
+        vf = np.asarray(v8, np.float64)
+        ref = np.zeros((B, T, D))
+        for b in range(B):
+            for h in range(D // dk):
+                sl = slice(h * dk, (h + 1) * dk)
+                logit = qf[b][:, sl] @ kf[b][:, sl].T
+                logit[:, s_valid:] = -np.inf
+                p = np.exp(logit - logit.max(-1, keepdims=True))
+                p /= p.sum(-1, keepdims=True)
+                ref[b][:, sl] = p @ vf[b][:, sl]
+        ref *= np.asarray(vs)[:, None, :]
+        err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 5e-3, (B, T, D, dk, err)
+
+
 def test_depthwise_conv1d_matches_grouped_conv():
     """depthwise_conv1d == nn.Conv(feature_group_count=C) bit-for-intent
     (f32 accumulate vs conv's f32 preferred type; 1e-5 rel)."""
