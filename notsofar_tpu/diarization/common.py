@@ -21,6 +21,10 @@ class DiarizationCfg:
     embedding_model_name: str = "titanet_large"
     msdd_model_name: str = "diar_msdd_telephonic"
     vad_model_name: str = "vad_multilingual_marblenet"
+    # Recipe yaml for the time-based methods (configs/inference/diarization/
+    # <name>.yaml). "" = the reference's per-method default: meeting for
+    # nmesc, telephonic for nmesc_msdd (time_based_diarization.py:53,65).
+    recipe_name: str = ""
     # TPU extension: speaker-encoder matmul dtype ('bfloat16' = MXU fast
     # path, ~4x on v5e; cosine-affinity clustering is robust to bf16
     # embeddings — 'float32' for strict NeMo-parity runs)

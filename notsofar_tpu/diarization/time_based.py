@@ -27,12 +27,19 @@ from notsofar_tpu.diarization.clustering import (cos_affinity_matrix,
                                                  run_clustering)
 from notsofar_tpu.diarization.common import (DiarizationCfg,
                                              prepare_diarized_data_frame)
+from notsofar_tpu.diarization.recipes import (DiarRecipe, binarize_vad_probs,
+                                              resolve_recipe)
 from notsofar_tpu.utils.audio import read_wav
 from notsofar_tpu.utils.logging_def import get_logger
 
 _LOG = get_logger("time_based_diarization")
 
 VAD_TIME_RESOLUTION = 0.01  # 10 ms frames, matching the reference
+
+# Which VAD actually ran in the last diarize_streams call ('marblenet' or
+# 'energy') — surfaced so e2e validators can report silent fallbacks
+# (round-4 order: the energy-VAD substitution must be loud).
+LAST_VAD_USED: dict = {"kind": None}
 
 
 def energy_vad(wav: np.ndarray, sr: int, frame_sec: float = 0.01,
@@ -69,7 +76,9 @@ def _embed_windows(concat: np.ndarray, sr: int, encoder,
     return np.concatenate(embs, axis=0)
 
 
-# NeMo diar_msdd_telephonic multiscale setup (window, shift) in seconds
+# NeMo diar_msdd_telephonic multiscale setup (window, shift) in seconds.
+# Kept as the no-recipe default; configs/inference/diarization/*.yaml
+# carry the full ladders (telephonic.yaml mirrors these values).
 MSDD_SCALES = [1.5, 1.25, 1.0, 0.75, 0.5]
 MSDD_HOPS = [0.75, 0.625, 0.5, 0.375, 0.25]
 
@@ -77,7 +86,10 @@ MSDD_HOPS = [0.75, 0.625, 0.5, 0.375, 0.25]
 def msdd_refine(concat: np.ndarray, sr: int, encoder, msdd,
                 cluster_starts: List[int], cluster_labels: np.ndarray,
                 vad: np.ndarray, n_spk: int,
-                threshold: float = 0.7, chunk: int = 256) -> np.ndarray:
+                threshold: float = 0.7, chunk: int = 256,
+                scales: Optional[List[float]] = None,
+                hops: Optional[List[float]] = None,
+                cluster_win_sec: float = 1.5) -> np.ndarray:
     """Overlap-aware refinement of a clustering initialization.
 
     Port of NeMo's NeuralDiarizer flow (time_based_diarization.py:20-117
@@ -89,9 +101,11 @@ def msdd_refine(concat: np.ndarray, sr: int, encoder, msdd,
     matrix [S, total_frames] at 10 ms resolution (multi-label: overlapped
     frames can be active for several speakers).
     """
+    scales = scales if scales is not None else MSDD_SCALES
+    hops = hops if hops is not None else MSDD_HOPS
     total = len(concat)
     scale_data = []   # (starts, centers, embs) per scale, base last
-    for w_sec, h_sec in zip(MSDD_SCALES, MSDD_HOPS):
+    for w_sec, h_sec in zip(scales, hops):
         win, hop = int(w_sec * sr), int(h_sec * sr)
         starts = []
         for s0 in range(0, max(total - win, 1), hop):
@@ -107,7 +121,7 @@ def msdd_refine(concat: np.ndarray, sr: int, encoder, msdd,
 
     base_starts, base_centers, _ = scale_data[-1]
     T = len(base_starts)
-    K = len(MSDD_SCALES)
+    K = len(scales)
     D = scale_data[-1][2].shape[1]
     ms_emb_seq = np.zeros((T, K, D), np.float32)
     for k, (_, centers, emb) in enumerate(scale_data):
@@ -115,7 +129,7 @@ def msdd_refine(concat: np.ndarray, sr: int, encoder, msdd,
         ms_emb_seq[:, k, :] = emb[idx]
 
     # initial label per base segment: nearest clustering window
-    c_centers = np.asarray(cluster_starts) + int(1.5 * sr) / 2
+    c_centers = np.asarray(cluster_starts) + int(cluster_win_sec * sr) / 2
     base_lab = cluster_labels[
         np.abs(base_centers[:, None] - c_centers[None, :]).argmin(axis=1)]
 
@@ -146,7 +160,7 @@ def msdd_refine(concat: np.ndarray, sr: int, encoder, msdd,
 
     total_frames = int(np.ceil(total / sr / VAD_TIME_RESOLUTION))
     spk_vad = np.zeros((n_spk, total_frames))
-    win_b = int(MSDD_SCALES[-1] * sr)
+    win_b = int(scales[-1] * sr)
     active = pair_probs > threshold
     # guarantee the argmax speaker stays active (NeMo keeps the clustering
     # speaker when the sigmoid is under threshold everywhere)
@@ -161,16 +175,41 @@ def msdd_refine(concat: np.ndarray, sr: int, encoder, msdd,
     return spk_vad
 
 
+def _speech_window_starts(vad: np.ndarray, total: int, sr: int,
+                          win: int, hop: int) -> List[int]:
+    """Window start samples whose span is >30% speech (NeMo-style gating
+    of embedding windows to VAD regions)."""
+    starts = []
+    for s0 in range(0, max(total - win, 1), hop):
+        f0 = int(s0 / sr / VAD_TIME_RESOLUTION)
+        f1 = int((s0 + win) / sr / VAD_TIME_RESOLUTION)
+        if vad[f0:f1].mean() > 0.3:
+            starts.append(s0)
+    return starts or [0]
+
+
 def diarize_streams(wavs: List[np.ndarray], sr: int, encoder,
                     window_sec: float = 1.5, hop_sec: float = 0.75,
                     vad_fn: Optional[Callable] = None,
                     max_num_speakers: int = 8,
-                    msdd=None, msdd_threshold: float = 0.7) -> np.ndarray:
+                    msdd=None, msdd_threshold: Optional[float] = None,
+                    recipe: Optional[DiarRecipe] = None) -> np.ndarray:
     """Concatenated-stream clustering -> [C, S, T] speaker-VAD tensor.
 
     msdd: optional OverlapDecoder — when given, the clustering
     initialization is refined into overlap-aware per-speaker activity
-    (the reference's `nmesc_msdd` NeuralDiarizer mode)."""
+    (the reference's `nmesc_msdd` NeuralDiarizer mode).
+
+    recipe: optional DiarRecipe (configs/inference/diarization/*.yaml).
+    When given, the clustering affinity is the weighted multiscale average
+    over the recipe's (window, shift) ladder with the finest scale as the
+    labeled base segments — NeMo ClusteringDiarizer semantics
+    (time_based_diarization.py:53-66 picks the recipe per method) — and
+    clustering/MSDD hyperparameters come from the recipe. Without a recipe
+    the legacy single-scale 1.5 s / 0.75 s behavior is kept.
+    """
+    LAST_VAD_USED["kind"] = ("energy" if vad_fn is None
+                             else getattr(vad_fn, "vad_kind", "marblenet"))
     vad_fn = vad_fn or energy_vad
     concat = np.concatenate(wavs)
     channel_len = max(len(w) for w in wavs)
@@ -178,28 +217,61 @@ def diarize_streams(wavs: List[np.ndarray], sr: int, encoder,
         np.pad(vad_fn(w, sr), (0, max(0, int(len(w) / sr / VAD_TIME_RESOLUTION)
                                       - len(vad_fn(w, sr))))) for w in wavs])
 
-    win = int(window_sec * sr)
-    hop = int(hop_sec * sr)
-    starts = []
     total = len(concat)
-    for s0 in range(0, max(total - win, 1), hop):
-        f0 = int(s0 / sr / VAD_TIME_RESOLUTION)
-        f1 = int((s0 + win) / sr / VAD_TIME_RESOLUTION)
-        if vad[f0:f1].mean() > 0.3:
-            starts.append(s0)
-    if not starts:
-        starts = [0]
-
-    emb = _embed_windows(concat, sr, encoder, starts, win)
-
-    labels = run_clustering(cos_affinity_matrix(emb),
-                            max_num_speakers=max_num_speakers)
+    if recipe is not None:
+        max_num_speakers = recipe.clustering.max_num_speakers
+        scale_wins = recipe.speaker_embeddings.window_length_in_sec
+        scale_hops = recipe.speaker_embeddings.shift_length_in_sec
+        weights = np.asarray(recipe.speaker_embeddings.multiscale_weights,
+                             np.float64)
+        # base scale (labeled units) = finest = last entry, as in NeMo
+        base_win = int(scale_wins[-1] * sr)
+        base_hop = int(scale_hops[-1] * sr)
+        starts = _speech_window_starts(vad, total, sr, base_win, base_hop)
+        base_centers = np.asarray(starts) + base_win / 2
+        aff = None
+        for k, (w_sec, h_sec) in enumerate(zip(scale_wins, scale_hops)):
+            win_k, hop_k = int(w_sec * sr), int(h_sec * sr)
+            if k == len(scale_wins) - 1:
+                starts_k, emb_k = starts, _embed_windows(
+                    concat, sr, encoder, starts, win_k)
+            else:
+                starts_k = _speech_window_starts(vad, total, sr, win_k, hop_k)
+                emb_k = _embed_windows(concat, sr, encoder, starts_k, win_k)
+            centers_k = np.asarray(starts_k) + win_k / 2
+            idx = np.abs(base_centers[:, None]
+                         - centers_k[None, :]).argmin(axis=1)
+            aff_k = cos_affinity_matrix(emb_k[idx]) * weights[k]
+            aff = aff_k if aff is None else aff + aff_k
+        aff /= weights.sum()
+        labels = run_clustering(
+            aff, max_num_speakers=max_num_speakers,
+            max_rp_threshold=recipe.clustering.max_rp_threshold,
+            sparse_search_volume=recipe.clustering.sparse_search_volume)
+        win = base_win
+        if msdd_threshold is None:
+            msdd_threshold = recipe.msdd.sigmoid_threshold[0]
+    else:
+        win = int(window_sec * sr)
+        hop = int(hop_sec * sr)
+        starts = _speech_window_starts(vad, total, sr, win, hop)
+        emb = _embed_windows(concat, sr, encoder, starts, win)
+        labels = run_clustering(cos_affinity_matrix(emb),
+                                max_num_speakers=max_num_speakers)
+    if msdd_threshold is None:
+        msdd_threshold = 0.7
     n_spk = int(labels.max()) + 1 if len(labels) else 1
 
     total_frames = int(np.ceil(total / sr / VAD_TIME_RESOLUTION))
     if msdd is not None and n_spk >= 2:
-        spk_vad = msdd_refine(concat, sr, encoder, msdd, starts, labels,
-                              vad, n_spk, threshold=msdd_threshold)
+        spk_vad = msdd_refine(
+            concat, sr, encoder, msdd, starts, labels, vad, n_spk,
+            threshold=msdd_threshold,
+            scales=(recipe.speaker_embeddings.window_length_in_sec
+                    if recipe is not None else None),
+            hops=(recipe.speaker_embeddings.shift_length_in_sec
+                  if recipe is not None else None),
+            cluster_win_sec=win / sr)
     else:
         spk_vad = np.zeros((n_spk, total_frames))
         for s0, lab in zip(starts, labels):
@@ -287,9 +359,27 @@ def resolve_frame_vad(cfg: DiarizationCfg) -> Optional[Callable]:
             _LOG.info(f"loading frame VAD from {cand}")
             _VAD_CACHE[name] = FrameVAD.from_checkpoint(cand)
             return _VAD_CACHE[name]
-    _LOG.info(f"VAD model '{name}' not mounted — using the energy VAD")
+    _LOG.warning(
+        f"VAD model '{name}' is NOT mounted — substituting the energy VAD. "
+        "Diarization output will differ from the MarbleNet recipe; mount "
+        f"{name}.nemo under NOTSOFAR_MODELS_DIR for parity "
+        "(tools/validate_real_weights.py reports which VAD ran).")
     _VAD_CACHE[name] = None
     return None
+
+
+def make_recipe_vad(frame_vad, recipe: DiarRecipe) -> Callable:
+    """Wrap a FrameVAD so its frame probabilities go through the recipe's
+    NeMo-parity binarization (onset/offset hysteresis, padding,
+    min-duration filtering) instead of a plain threshold."""
+    def vad(wav: np.ndarray, sr: int) -> np.ndarray:
+        assert sr == 16000, "resample to 16 kHz before VAD"
+        w = np.asarray(wav, np.float32)[None]
+        probs = frame_vad.frame_probs(w, np.asarray([w.shape[1]]))[0]
+        n = w.shape[1] // 160
+        return binarize_vad_probs(probs[:n], recipe.vad)
+    vad.vad_kind = "marblenet"
+    return vad
 
 
 _MSDD_CACHE: dict = {}
@@ -336,13 +426,17 @@ def time_based_diarization(wav_files_sorted, segments_df: pd.DataFrame,
                 for f in wav_files_sorted]
     sr = srs_wavs[0][0]
     wavs = [w if w.ndim == 1 else w[0] for _, w in srs_wavs]
+    recipe = resolve_recipe(cfg.method, cfg.recipe_name)
     if encoder is None:
         from notsofar_tpu.diarization.word_based import resolve_speaker_encoder
         encoder = resolve_speaker_encoder(cfg)
     if vad_fn is None:
-        vad_fn = resolve_frame_vad(cfg)
+        frame_vad = resolve_frame_vad(cfg)
+        if frame_vad is not None:
+            vad_fn = make_recipe_vad(frame_vad, recipe)
     if msdd is None and cfg.method == "nmesc_msdd":
         msdd = resolve_overlap_decoder(cfg)
-    spk_vad = diarize_streams(wavs, sr, encoder, vad_fn=vad_fn, msdd=msdd)
+    spk_vad = diarize_streams(wavs, sr, encoder, vad_fn=vad_fn, msdd=msdd,
+                              recipe=recipe)
     return assign_words_to_speakers(segments_df, spk_vad,
                                     cfg.apply_deduplication)

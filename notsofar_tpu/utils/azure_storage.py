@@ -65,19 +65,35 @@ def get_azcopy_path() -> str:
     found = _find_azcopy()
     if found:
         return found
+    system = platform.system().lower()
+    if system not in _AZCOPY_FILE_NAME:
+        raise FileNotFoundError(
+            f"no azcopy binary published for platform {system!r}")
     deploy_dir = Path(__file__).resolve().parents[2] / "artifacts" \
         / "tools" / "azcopy"
     deploy_dir.mkdir(parents=True, exist_ok=True)
-    fname = _AZCOPY_FILE_NAME.get(platform.system().lower(), "azcopy")
+    fname = _AZCOPY_FILE_NAME[system]
     dst = deploy_dir / fname
     if not dst.is_file():
         _LOG.info(f"azcopy not found; deploying to {dst}")
-        subprocess.run(["curl", "-L", f"{ASSETS_URL}/azcopy/{fname}",
-                        "-o", str(dst)], check=True)
-        if not dst.is_file():
+        # Download to a temp path and move into place only on success —
+        # an HTTP error (-f makes curl fail on 4xx/5xx) or an interrupted
+        # transfer must not leave a partial file that _find_azcopy() would
+        # treat as a valid deploy forever after.
+        tmp = dst.with_suffix(".tmp")
+        try:
+            subprocess.run(["curl", "-fL", f"{ASSETS_URL}/azcopy/{fname}",
+                            "-o", str(tmp)], check=True)
+        except subprocess.CalledProcessError as e:
+            tmp.unlink(missing_ok=True)
+            raise FileNotFoundError(
+                f"failed to deploy azcopy to {dst} (curl rc={e.returncode})")
+        if not tmp.is_file() or tmp.stat().st_size == 0:
+            tmp.unlink(missing_ok=True)
             raise FileNotFoundError(f"failed to deploy azcopy to {dst}")
-        if platform.system().lower() != "windows":
-            dst.chmod(0o755)
+        if system != "windows":
+            tmp.chmod(0o755)
+        os.replace(tmp, dst)
     return str(dst)
 
 
@@ -88,17 +104,21 @@ def _find_azcopy() -> Optional[str]:
     on_path = shutil.which("azcopy")
     if on_path:
         return on_path
+    fname = _AZCOPY_FILE_NAME.get(platform.system().lower())
+    if fname is None:
+        return None
     deployed = Path(__file__).resolve().parents[2] / "artifacts" / "tools" \
-        / "azcopy" / _AZCOPY_FILE_NAME.get(platform.system().lower(),
-                                           "azcopy")
+        / "azcopy" / fname
     return str(deployed) if deployed.is_file() else None
 
 
 def _azcopy(src_url: str, dst: Path) -> bool:
-    azcopy = _find_azcopy()
-    if azcopy is None:
-        _LOG.warning("azcopy not found (set AZCOPY_PATH); cannot download. "
-                     "Mount the data locally and set NOTSOFAR_DATA_ROOT.")
+    try:
+        azcopy = get_azcopy_path()
+    except (FileNotFoundError, OSError) as e:
+        _LOG.warning(f"azcopy unavailable ({e}); cannot download. Set "
+                     "AZCOPY_PATH, or mount the data locally and set "
+                     "NOTSOFAR_DATA_ROOT.")
         return False
     t0 = time.time()
     res = subprocess.run([azcopy, "copy", src_url, str(dst), "--recursive",
