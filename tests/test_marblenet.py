@@ -155,3 +155,36 @@ def test_nemo_archive_roundtrip(tmp_path, monkeypatch):
     assert vad.cfg.blocks == CFG.blocks
     mask = vad(np.zeros(16000, np.float32), 16000)
     assert mask.shape == (100,) and mask.dtype == bool
+
+
+def test_torch_oracle_parity():
+    """Converted-JAX frame logits vs the independent torch NeMo-semantics
+    forward (tools/torch_marblenet_oracle.py) — <1e-4 relative on every
+    valid frame. Kills converter orientation/layout/BN-eps bugs the way
+    the TitaNet oracle does for embeddings (round-4 order)."""
+    import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools.torch_marblenet_oracle import torch_frame_logits
+    from notsofar_tpu.models.titanet import titanet_features
+
+    rng = np.random.RandomState(3)
+    sd = synth_nemo_marblenet_sd(rng, CFG)
+    variables = convert_nemo_marblenet(sd, CFG)
+    vad = FrameVAD(CFG, variables=jax.tree_util.tree_map(np.asarray,
+                                                         variables))
+    wavs = (rng.randn(2, 16000) * 0.1).astype(np.float32)
+    lengths = np.asarray([16000, 9000])
+    feats = np.asarray(titanet_features(wavs, n_mels=CFG.n_mels))
+    frame_lengths = lengths // 160 + 1
+    ref = torch_frame_logits(sd, CFG, feats, frame_lengths)
+    got = np.asarray(vad.module.apply(vad.variables, feats, frame_lengths))
+    for b, n in enumerate(frame_lengths):
+        rel = np.abs(ref[b, :n] - got[b, :n]).max() / \
+            max(np.abs(ref[b, :n]).max(), 1e-9)
+        assert rel < 1e-4, f"row {b}: rel diff {rel}"
+    # probabilities too (softmax is monotone, but pin the full contract)
+    probs_ref = np.exp(ref) / np.exp(ref).sum(-1, keepdims=True)
+    probs_got = vad.frame_probs(wavs, lengths)
+    for b, n in enumerate(frame_lengths):
+        assert np.abs(probs_ref[b, :n, 1] - probs_got[b, :n]).max() < 1e-4
