@@ -19,17 +19,25 @@ within such maximal "blocks" of mutually overlapping intervals, so
 
     exact_errors = sum over blocks of min over S^{U_block} assignments
 
-with two pruning facts keeping the enumeration feasible:
+Within a block the optimum is computed by the native multidimensional DP
+(native/orc.cpp): state (ref words consumed, per-stream words consumed,
+stream the current utterance is pinned to) — polynomial in the block size,
+so dense chained-overlap blocks (the #DebateOverlaps regime) score exactly.
+When the kernel is unavailable (no g++) the S^U assignment enumeration
+runs instead, with two pruning facts keeping it feasible:
   * only streams with words inside the block are distinct choices — all
     word-free streams are interchangeable pure-deletion sinks, so one
     canonical 'empty' choice represents them;
-  * real meetings rarely have more than a handful of utterances whose
-    collar-extended spans mutually chain, so U_block stays small. Blocks
-    larger than max_block_utts raise (the session is not exactly scorable
-    by this method).
+  * blocks larger than max_block_utts raise (the session is not exactly
+    scorable by enumeration).
+The two formulations are differentially tested against each other
+(tests/test_scoring.py::test_exact_orc_native_matches_enumeration).
 """
+import ctypes
 import itertools
-from typing import Dict, List
+import os
+import subprocess
+from typing import Dict, List, Optional
 
 import numpy as np
 
@@ -38,6 +46,82 @@ from notsofar_tpu.utils.scoring.seglst import SegLst
 from notsofar_tpu.utils.scoring.tcpwer import (Vocab, WordSeq, _concat_seqs,
                                                _speaker_word_seqs, _tclev,
                                                _utterances)
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+_SO_PATH = os.path.join(_NATIVE_DIR, "liborc.so")
+_lib = None
+_lib_tried = False
+
+
+def _load_native():
+    """native/orc.cpp — the exact multidimensional tcORC DP; None ->
+    fall back to assignment enumeration (bounded by max_block_utts)."""
+    global _lib, _lib_tried
+    if _lib_tried:
+        return _lib
+    _lib_tried = True
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR, "liborc.so"], check=True,
+                       capture_output=True)
+    except Exception:
+        if not os.path.exists(_SO_PATH):
+            return None
+    try:
+        lib = ctypes.CDLL(_SO_PATH)
+        lib.orc_exact.restype = ctypes.c_int64
+        c_i32p = ctypes.POINTER(ctypes.c_int32)
+        c_f64p = ctypes.POINTER(ctypes.c_double)
+        c_i64p = ctypes.POINTER(ctypes.c_int64)
+        lib.orc_exact.argtypes = [
+            c_i32p, c_f64p, c_f64p, c_i32p, ctypes.c_int64,
+            c_i32p, c_f64p, c_f64p, c_i64p, ctypes.c_int64,
+            ctypes.c_int64, c_i64p]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def _orc_exact_native(utt_seqs: List[WordSeq], streams: List[WordSeq],
+                      collar: float, max_ops: int = 2_000_000_000
+                      ) -> Optional[EditCounts]:
+    """Exact block optimum via the native DP; None when the kernel is
+    unavailable or the state space exceeds max_ops."""
+    lib = _load_native()
+    if lib is None:
+        return None
+    ids = np.concatenate([u.ids for u in utt_seqs]).astype(np.int32)
+    beg = np.concatenate([u.beg for u in utt_seqs]) - collar
+    end = np.concatenate([u.end for u in utt_seqs]) + collar
+    utt = np.concatenate([np.full(len(u), i, np.int32)
+                          for i, u in enumerate(utt_seqs)])
+    h_ids = (np.concatenate([s.ids for s in streams]).astype(np.int32)
+             if streams else np.zeros(0, np.int32))
+    h_beg = (np.concatenate([s.beg for s in streams]) if streams
+             else np.zeros(0))
+    h_end = (np.concatenate([s.end for s in streams]) if streams
+             else np.zeros(0))
+    offsets = np.zeros(len(streams) + 1, np.int64)
+    np.cumsum([len(s) for s in streams], out=offsets[1:])
+    out4 = np.zeros(4, np.int64)
+    c_i32p = ctypes.POINTER(ctypes.c_int32)
+    c_f64p = ctypes.POINTER(ctypes.c_double)
+    c_i64p = ctypes.POINTER(ctypes.c_int64)
+    res = lib.orc_exact(
+        np.ascontiguousarray(ids).ctypes.data_as(c_i32p),
+        np.ascontiguousarray(beg).ctypes.data_as(c_f64p),
+        np.ascontiguousarray(end).ctypes.data_as(c_f64p),
+        np.ascontiguousarray(utt).ctypes.data_as(c_i32p), len(ids),
+        np.ascontiguousarray(h_ids).ctypes.data_as(c_i32p),
+        np.ascontiguousarray(h_beg).ctypes.data_as(c_f64p),
+        np.ascontiguousarray(h_end).ctypes.data_as(c_f64p),
+        np.ascontiguousarray(offsets).ctypes.data_as(c_i64p), len(streams),
+        max_ops, out4.ctypes.data_as(c_i64p))
+    if res < 0:
+        return None
+    return EditCounts(int(out4[0]), int(out4[1]), int(out4[2]),
+                      int(out4[3]))
 
 
 def _sub_seq(seq: WordSeq, idx: List[int]) -> WordSeq:
@@ -109,6 +193,20 @@ def tcorc_wer_exact(ref: SegLst, hyp: SegLst, collar: float = 5.0,
             continue
         block_streams = {sid: _sub_seq(streams[sid], sorted(by_stream[sid]))
                          for sid in active}
+        # exact multidimensional DP (native/orc.cpp): polynomial in the
+        # block size, so chained-overlap blocks (#DebateOverlaps regime)
+        # score exactly instead of raising; enumeration remains the
+        # fallback when the kernel is unavailable or the block's stream
+        # product explodes
+        native = _orc_exact_native([utts[ui].seq for ui in but],
+                                   [block_streams[sid] for sid in active],
+                                   collar)
+        if native is not None:
+            tot["errors"] += native.errors
+            tot["substitutions"] += native.substitutions
+            tot["insertions"] += native.insertions
+            tot["deletions"] += native.deletions
+            continue
         choices: List = list(active)
         if len(active) < S:
             choices.append(None)   # canonical pure-deletion (empty) stream

@@ -369,11 +369,96 @@ def test_production_tcorc_matches_exact_long_sessions():
     assert not mismatches, f"production above exact optimum on: {mismatches}"
 
 
-def test_exact_orc_block_guard():
-    """Dense all-overlapping sessions must raise, not silently mis-score."""
-    from notsofar_tpu.utils.scoring.exact_orc import tcorc_wer_exact
+def test_exact_orc_block_guard(monkeypatch):
+    """Without the native DP, dense all-overlapping sessions must raise
+    (not silently mis-score); with it, they score exactly."""
+    from notsofar_tpu.utils.scoring import exact_orc
     ref = SegLst([_seg("s", f"spk{u}", 0.0, 2.0, "a b") for u in range(9)])
     hyp = SegLst([_seg("s", "st0", 0.0, 2.0, "a b"),
                   _seg("s", "st1", 0.0, 2.0, "a b")])
+    monkeypatch.setattr(exact_orc, "_lib", None)
+    monkeypatch.setattr(exact_orc, "_lib_tried", True)
     with pytest.raises(ValueError):
-        tcorc_wer_exact(ref, hyp, collar=5.0, max_block_utts=4)
+        exact_orc.tcorc_wer_exact(ref, hyp, collar=5.0, max_block_utts=4)
+    monkeypatch.undo()
+    if exact_orc._load_native() is not None:
+        res = exact_orc.tcorc_wer_exact(ref, hyp, collar=5.0,
+                                        max_block_utts=4)
+        # 9 utterances x "a b" vs two streams carrying one "a b" each:
+        # 2 utterances align perfectly, 7 are fully deleted
+        assert res["errors"] == 14 and res["deletions"] == 14
+
+
+def test_exact_orc_native_matches_enumeration():
+    """The native multidimensional DP (native/orc.cpp) and the
+    S^U assignment enumeration are independent formulations of the same
+    optimum — they must agree exactly."""
+    from notsofar_tpu.utils.scoring import exact_orc
+    if exact_orc._load_native() is None:
+        pytest.skip("native orc kernel unavailable")
+    rng = np.random.RandomState(7)
+    words = ["a", "b", "c", "d", "e"]
+    for case in range(40):
+        S = int(rng.randint(1, 4))
+        U = int(rng.randint(1, 8))
+        ref, hyp = _random_session(rng, U, S, words, overlap_rate=0.6,
+                                   max_gap=1.0)
+        native = exact_orc.tcorc_wer_exact(ref, hyp, collar=2.0)
+        lib = exact_orc._lib
+        exact_orc._lib = None
+        try:
+            enum = exact_orc.tcorc_wer_exact(ref, hyp, collar=2.0,
+                                             max_block_utts=8)
+        finally:
+            exact_orc._lib = lib
+        assert native["errors"] == enum["errors"], (case, native, enum)
+        assert native["length"] == enum["length"]
+
+
+def _chained_session(rng, U, S, words, chain_step=1.0, dur=3.0):
+    """The #DebateOverlaps regime: every utterance overlaps the next, so
+    collar-extended spans chain into ONE block of U utterances — exactly
+    the shape the enumeration golden could not score (S^U)."""
+    ref_segs, hyp_segs = [], []
+    for u in range(U):
+        t = u * chain_step
+        n = int(rng.randint(1, 4))
+        ws = [words[rng.randint(len(words))] for _ in range(n)]
+        ref_segs.append(_seg("s", f"spk{u % 4}", t, t + dur, " ".join(ws)))
+        hw = [w for w in ws if rng.rand() > 0.2]
+        if rng.rand() < 0.3:
+            hw.append(words[rng.randint(len(words))])
+        if hw:
+            j = int(rng.randint(S))
+            jit = float(rng.rand() * 0.4)
+            hyp_segs.append(_seg("s", f"st{j}", t + jit, t + dur + jit,
+                                 " ".join(hw)))
+    return SegLst(ref_segs), SegLst(hyp_segs)
+
+
+def test_production_tcorc_on_chained_overlap_blocks():
+    """Certify the production local-search tcORC against the exact DP on
+    long mutual-overlap chains (VERDICT r3 item 6): U up to 24 utterances
+    in a single block — the dense-overlap regime where blocks chain and
+    the upper bound was previously unquantified. Gap must be ZERO."""
+    from notsofar_tpu.utils.scoring.exact_orc import (_load_native,
+                                                      tcorc_wer_exact)
+    if _load_native() is None:
+        pytest.skip("native orc kernel unavailable")
+    rng = np.random.RandomState(91)
+    words = ["alpha", "beta", "gamma", "delta", "eps"]
+    gaps = []
+    for case in range(10):
+        S = int(rng.randint(2, 4))
+        U = int(rng.randint(12, 25))
+        # chain_step < dur => consecutive utterances always overlap;
+        # with collar 2 the whole session is one block
+        ref, hyp = _chained_session(rng, U, S, words,
+                                    chain_step=float(1.0 + rng.rand()),
+                                    dur=3.0)
+        exact = tcorc_wer_exact(ref, hyp, collar=2.0)["errors"]
+        got = tcorc_wer(ref, hyp, collar=2.0)["errors"]
+        assert got >= exact    # production is an upper bound by construction
+        gaps.append(got - exact)
+    assert all(g == 0 for g in gaps), \
+        f"production above exact optimum on chained blocks: gaps={gaps}"
