@@ -565,3 +565,77 @@ def test_int8_load_path():
     assert blk["attn"]["query"]["kernel"].dtype == jnp.int8
     assert blk["attn"]["query"]["scale"].dtype == jnp.float32
     assert variables["decoder"]["params"]["token_embedding"].dtype == jnp.int8
+
+
+def test_int8_decoder_outlier_channels():
+    """int8 fidelity on STRUCTURED weight proxies, not just PRNG init
+    (round-4 order): trained transformers develop outlier channels — a
+    few output channels with 10-100x the typical magnitude plus shared
+    low-rank structure. Outlier OUTPUT channels are covered exactly by
+    the per-output-channel scales, but they become outlier INPUT
+    activations to the next matrix, amplifying ITS weight-quantization
+    noise — the real failure mode. This test demonstrates the
+    measurement harness the real-weight validator's int8-wer-delta stage
+    depends on: the probe must (a) certify high logit fidelity at
+    plain/mild statistics and (b) have the statistical power to DETECT
+    degradation under harsh sculpting (measured sweep: cos 0.9998 plain,
+    0.997 mild, 0.70 harsh — teacher-forced on random tokens, where
+    argmax margins are far thinner than on a real greedy path)."""
+    import jax
+    import jax.numpy as jnp
+    from notsofar_tpu.models.whisper import (WHISPER_DIMS, WhisperModel,
+                                             quantize_whisper_decoder)
+
+    m = WhisperModel(WHISPER_DIMS["tiny"], dtype=jnp.float32)
+    v0 = m.init(jax.random.PRNGKey(0))
+    qm = WhisperModel(WHISPER_DIMS["tiny"], dtype=jnp.float32,
+                      quant_decoder=True)
+
+    def sculpt(tree, frac, mag, seed):
+        rng = np.random.RandomState(seed)
+
+        def fn(x):
+            x = np.asarray(x)
+            if x.ndim != 2:
+                return x
+            out = x.copy()
+            n_out = out.shape[1]
+            big = rng.choice(n_out, max(1, int(n_out * frac)),
+                             replace=False)
+            out[:, big] *= mag
+            u = rng.randn(out.shape[0], 1) * 0.02
+            w = rng.randn(1, n_out)
+            return (out + u @ w).astype(np.float32)
+        return jax.tree_util.tree_map(fn, tree)
+
+    rng = np.random.RandomState(11)
+    xa = jnp.asarray(rng.randn(2, 1500, 384).astype(np.float32))
+    toks = jnp.asarray(
+        np.concatenate([np.array([[50257, 50258, 50359]], np.int32)
+                        .repeat(2, 0),
+                        rng.randint(0, 50000, (2, 61)).astype(np.int32)],
+                       axis=1))
+
+    def probe(frac, mag):
+        dec = sculpt(v0["decoder"], frac, mag, 5) if frac else v0["decoder"]
+        v = {"decoder": dec, "encoder": v0["encoder"]}
+        qv = quantize_whisper_decoder(v)
+        l1, _, _ = m.decoder.apply(v["decoder"], toks, xa, 0)
+        l2, _, _ = qm.decoder.apply(qv["decoder"], toks, xa, 0)
+        a, b = np.asarray(l1), np.asarray(l2)
+        agree = float((a.argmax(-1) == b.argmax(-1)).mean())
+        cos = float((a * b).sum()
+                    / (np.linalg.norm(a) * np.linalg.norm(b)))
+        return agree, cos
+
+    agree_plain, cos_plain = probe(0.0, 1.0)
+    agree_mild, cos_mild = probe(0.02, 10.0)
+    agree_harsh, cos_harsh = probe(0.05, 100.0)
+    # (a) fidelity where real checkpoints are expected to live
+    assert cos_plain > 0.999, cos_plain
+    assert cos_mild > 0.99, cos_mild
+    assert agree_mild > 0.7, agree_mild
+    # (b) the probe detects adversarial statistics — the harness is not
+    # vacuous, so a near-zero wer-delta on real weights is evidence
+    assert cos_harsh < cos_mild - 0.05, (cos_harsh, cos_mild)
+    assert agree_harsh < agree_plain, (agree_harsh, agree_plain)

@@ -19,11 +19,17 @@ Per component it prints PASS / SKIP (not mounted) / FAIL:
                     converted weights against the executed torch model.
   whisper           openai .pt conversion + a short transcribe() round trip.
   titanet           .nemo conversion + embedding sanity (unit self-cosine).
-  marblenet         .nemo conversion + frame-VAD probability sanity.
+  marblenet         .nemo conversion + torch-oracle parity of the frame
+                    logits on the REAL weights (tools/torch_marblenet_
+                    oracle.py).
   msdd              .nemo conversion + refinement forward sanity.
   e2e-wer           full pipeline on --meetings-dir sessions; prints the
                     session tcpWER / tcORC-WER (compare to BASELINE.md:
-                    MC 32.4 / SC 46.8).
+                    MC 32.4 / SC 46.8) and which VAD actually ran for the
+                    time-based diar modes.
+  int8-wer-delta    full pipeline twice (ASR weights bf16 vs int8);
+                    prints wer(int8) - wer(bf16) — the serving-default
+                    quantization's accuracy cost on real weights.
 
 Exit code 0 iff nothing FAILed. Smoke-tested end-to-end with synthetic
 checkpoints of every format by tests/test_validate_real_weights.py.
@@ -163,17 +169,33 @@ def check_titanet(nemo_dir):
 
 @check("marblenet")
 def check_marblenet(nemo_dir):
+    """Oracle-parity on the REAL checkpoint: converted-JAX frame logits vs
+    the independent torch NeMo-semantics forward on the same state dict
+    (upgraded from shape-sanity — round-4 order)."""
     from pathlib import Path
     p = Path(nemo_dir) / "vad_multilingual_marblenet.nemo"
     if not p.exists():
         return None
     from notsofar_tpu.models.marblenet import FrameVAD
+    from notsofar_tpu.models.titanet import titanet_features
+    from notsofar_tpu.models.titanet_convert import load_nemo_archive
+    from tools.torch_marblenet_oracle import torch_frame_logits
     vad = FrameVAD.from_checkpoint(str(p))
+    sd, _ = load_nemo_archive(str(p))
     rng = np.random.RandomState(0)
-    wav = (rng.randn(16000 * 4) * 0.1).astype(np.float32)
-    mask = vad(wav, 16000)
-    assert mask.dtype == bool or ((mask >= 0) & (mask <= 1)).all()
-    return f"frame mask len {len(mask)}, speech frac {np.mean(mask):.2f}"
+    wavs = (rng.randn(2, 16000 * 4) * 0.1).astype(np.float32)
+    lengths = np.asarray([16000 * 4, 16000 * 3])
+    feats = np.asarray(titanet_features(wavs, n_mels=vad.cfg.n_mels))
+    frame_lengths = lengths // 160 + 1
+    ref = torch_frame_logits(sd, vad.cfg, feats, frame_lengths)
+    got = np.asarray(vad.module.apply(vad.variables, feats, frame_lengths))
+    rel = max(np.abs(ref[b, :n] - got[b, :n]).max()
+              / max(np.abs(ref[b, :n]).max(), 1e-9)
+              for b, n in enumerate(frame_lengths))
+    assert rel < 1e-3, f"torch-oracle parity FAILED: rel {rel:.2e}"
+    mask = vad(wavs[0], 16000)
+    return (f"torch-oracle parity rel {rel:.2e}, frame mask len "
+            f"{len(mask)}, speech frac {np.mean(mask):.2f}")
 
 
 @check("msdd")
@@ -194,6 +216,45 @@ def check_msdd(nemo_dir):
             f"lstm={c.num_lstm_layers}, refine OK")
 
 
+@check("int8-wer-delta")
+def check_int8_wer_delta(models_dir, meetings_dir, out_dir, session_query,
+                         conf_file, model_name):
+    """wer(int8) - wer(bf16) on real sessions (round-4 order): int8 is the
+    serving default but its accuracy was proven only on random weights —
+    trained-transformer outlier channels are exactly where per-channel
+    symmetric int8 degrades. Runs the full pipeline twice, toggling only
+    the ASR weight storage."""
+    import shutil
+    from pathlib import Path
+    if not meetings_dir:
+        return None
+    if not any((Path(models_dir) / "whisper" / f"{model_name}.pt").exists()
+               or (Path(models_dir) / f"{model_name}.pt").exists()
+               for _ in (0,)):
+        return None
+    from notsofar_tpu.inference_pipeline.inference import (FetchFromCacheCfg,
+                                                           InferenceCfg,
+                                                           inference_pipeline)
+    from notsofar_tpu.utils.conf import load_yaml_to_dataclass
+    wers = {}
+    for dtype in ("bfloat16", "int8"):
+        cfg = load_yaml_to_dataclass(conf_file, InferenceCfg)
+        cfg.session_query = session_query
+        cfg.asr.compute_dtype = dtype
+        d = os.path.join(out_dir, f"int8_delta_{dtype}")
+        shutil.rmtree(d, ignore_errors=True)
+        wer = inference_pipeline(meetings_dir, models_dir, d, cfg,
+                                 FetchFromCacheCfg())
+        if wer is None or (hasattr(wer, "__len__") and len(wer) == 0):
+            return "no GT -> cannot compute the delta"
+        wers[dtype] = float(wer["tcp_wer"].mean())
+    delta = wers["int8"] - wers["bfloat16"]
+    verdict = "OK (<=0.003 abs)" if abs(delta) <= 0.003 else \
+        "REVIEW: int8 shifts tcpWER materially — serve bf16 or requantize"
+    return (f"tcpWER bf16 {wers['bfloat16']:.4f} | int8 {wers['int8']:.4f} "
+            f"| delta {delta:+.4f} {verdict}")
+
+
 @check("e2e-wer")
 def check_e2e(models_dir, meetings_dir, out_dir, session_query, conf_file):
     if not meetings_dir:
@@ -206,14 +267,21 @@ def check_e2e(models_dir, meetings_dir, out_dir, session_query, conf_file):
     cfg.session_query = session_query
     wer = inference_pipeline(meetings_dir, models_dir, out_dir, cfg,
                              FetchFromCacheCfg())
+    # which VAD actually ran (loud-fallback reporting, round-4 order):
+    # energy-VAD substitution silently changes nmesc/nmesc_msdd behavior
+    from notsofar_tpu.diarization.time_based import LAST_VAD_USED
+    vad_note = ""
+    if cfg.diarization.method in ("nmesc", "nmesc_msdd"):
+        vad_note = f" [VAD used: {LAST_VAD_USED['kind'] or 'n/a'}]"
     if wer is None or (hasattr(wer, "__len__") and len(wer) == 0):
-        return "pipeline ran (no GT -> no WER computed)"
+        return "pipeline ran (no GT -> no WER computed)" + vad_note
     try:
         return (f"tcpWER {float(wer['tcp_wer'].mean()):.4f}, "
                 f"tcORC {float(wer['tcorc_wer'].mean()):.4f} "
-                f"over {len(wer)} sessions (baseline MC .324 / SC .468)")
+                f"over {len(wer)} sessions (baseline MC .324 / SC .468)"
+                + vad_note)
     except Exception:
-        return f"pipeline ran; result: {wer}"
+        return f"pipeline ran; result: {wer}{vad_note}"
 
 
 def main(argv=None):
@@ -247,6 +315,8 @@ def main(argv=None):
     check_msdd(nemo_dir)
     check_e2e(args.models_dir, args.meetings_dir, args.out_dir,
               args.session_query, args.conf)
+    check_int8_wer_delta(args.models_dir, args.meetings_dir, args.out_dir,
+                         args.session_query, args.conf, args.whisper_model)
 
     print("\n=== summary ===")
     for name, status, detail in RESULTS:
