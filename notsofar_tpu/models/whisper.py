@@ -158,6 +158,26 @@ class MHA(nn.Module):
         kh = k.reshape(B, S, self.n_head, d_k).transpose(0, 2, 1, 3)
         vh = v.reshape(B, S, self.n_head, d_k).transpose(0, 2, 1, 3)
         scale = d_k ** -0.25
+        if (mask is None and new_cache is None and xa is None
+                and T == S and T >= 512):
+            # long-context encoder self-attention: the einsum below
+            # materializes [B, H, T, T] f32 logits in HBM (~4.3 GB/layer
+            # at whisper large-v3 encode, B=24 — the encode stage's
+            # dominant stream); the fused kernel keeps the full K/V rows
+            # VMEM-resident instead. Same operand rounding (bf16 q*scale/
+            # k*scale) and f32 softmax. Nobody consumes encoder
+            # self-attention weights (ResidualBlock discards them).
+            from notsofar_tpu.ops.pallas_kernels import encoder_mha
+            interpret = jax.default_backend() == "cpu"
+            out = encoder_mha(
+                (qh * scale).astype(self.dtype).reshape(-1, T, d_k),
+                (kh * scale).astype(self.dtype).reshape(-1, S, d_k),
+                vh.reshape(-1, S, d_k), interpret=interpret)
+            out = out.reshape(B, self.n_head, T, d_k)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, self.n_state)
+            out = _dense(self.quant, self.n_state, True, self.dtype,
+                         "out")(out)
+            return out, None, new_cache
         logits = jnp.einsum("bhtd,bhsd->bhts", qh * scale, kh * scale,
                             preferred_element_type=jnp.float32)
         if mask is not None:

@@ -264,3 +264,76 @@ def masked_scm_pallas(wta: jnp.ndarray, stft_c: jnp.ndarray,
     scm = jax.lax.complex(rr[:, :, :F], ri[:, :, :F])
     eye = jnp.eye(M, dtype=scm.dtype)
     return scm + 1e-15 * eye
+
+
+def _encoder_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, s_valid: int):
+    """One (batch*head, q-block) cell of unmasked bidirectional MHA.
+
+    Blocks: q [1, Tq, dk] bf16 and k/v [1, S_pad, dk] bf16 (both already
+    scaled by d_k**-0.25, matching the einsum path's operand rounding);
+    out [1, Tq, dk] f32. The ENTIRE key/value sequence lives in VMEM
+    (whisper encode: [1536, 64] bf16 = 192 KB each), so no online-softmax
+    running rescale is needed — logits for the full row are materialized
+    in a [Tq, S_pad] f32 register block, softmaxed once (f32, exactly the
+    einsum path's math), and consumed by the attention-value dot without
+    ever touching HBM. Keys past s_valid are zero padding; their logits
+    are masked to -1e30 before the softmax."""
+    q = q_ref[0]                                   # [Tq, dk] bf16
+    k = k_ref[0]                                   # [S_pad, dk] bf16
+    v = v_ref[0]
+    lg = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    S_pad = k.shape[0]
+    if s_valid < S_pad:
+        s_iota = jax.lax.broadcasted_iota(jnp.int32, lg.shape, 1)
+        lg = jnp.where(s_iota >= s_valid, -1e30, lg)
+    m = jnp.max(lg, axis=-1, keepdims=True)
+    p = jnp.exp(lg - m)
+    # weights cast to the value dtype — the einsum path's
+    # w.astype(vh.dtype), so f32 models keep f32 parity
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+    o_ref[0] = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+
+def encoder_mha(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
+                interpret: bool = False) -> jnp.ndarray:
+    """Fused unmasked self-attention for long-context encoders.
+
+    qh/kh/vh: [BH, S, dk] bf16, attention scale already folded into q and
+    k by the caller. Returns [BH, S, dk] f32.
+
+    Replaces the XLA einsum formulation for the whisper encoder
+    (models/whisper.py::MHA), whose [B, H, 1500, 1500] f32 logits tensor
+    is the encode stage's dominant HBM stream (~4.3 GB per layer at
+    B=24 -> measured 17 ms/layer; the MXU work is ~1.4 ms). The stock
+    pallas flash_attention kernel measured 40 ms/layer at this shape
+    (online-softmax machinery + segment-id masking it doesn't need);
+    keeping all of K/V resident per cell removes both.
+    """
+    BH, S, dk = qh.shape
+    blk = 512
+    S_pad = ((S + blk - 1) // blk) * blk
+    if S_pad != S:
+        pad = ((0, 0), (0, S_pad - S), (0, 0))
+        qh, kh, vh = (jnp.pad(x, pad) for x in (qh, kh, vh))
+    # q blocks of 768 when divisible (fewer, larger cells), else 512
+    tq = 768 if S_pad % 768 == 0 else blk
+    kern = functools.partial(_encoder_mha_kernel, s_valid=S)
+    out = pl.pallas_call(
+        kern,
+        grid=(BH, S_pad // tq),
+        in_specs=[
+            pl.BlockSpec((1, tq, dk), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, dk), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, dk), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tq, dk), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, S_pad, dk), jnp.float32),
+        interpret=interpret,
+    )(qh, kh, vh)
+    return out[:, :S]

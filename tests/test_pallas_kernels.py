@@ -112,3 +112,46 @@ def test_titanet_depthwise_module_matches_nn_conv():
                    feature_group_count=C, use_bias=False)
     want = np.asarray(conv.apply({"params": {"kernel": w}}, x))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_encoder_mha_matches_einsum():
+    """Fused encoder self-attention vs the MHA einsum formulation,
+    including the S -> S_pad key padding mask (621 pads to 1024)."""
+    from notsofar_tpu.ops.pallas_kernels import encoder_mha
+    rng = np.random.RandomState(7)
+    BH, S, dk = 6, 621, 64
+    scale = dk ** -0.25
+    q = jnp.asarray(rng.randn(BH, S, dk).astype(np.float32) * 0.3
+                    ).astype(jnp.bfloat16)
+    k = jnp.asarray(rng.randn(BH, S, dk).astype(np.float32) * 0.3
+                    ).astype(jnp.bfloat16)
+    v = jnp.asarray(rng.randn(BH, S, dk).astype(np.float32) * 0.3
+                    ).astype(jnp.bfloat16)
+
+    lg = jnp.einsum("btd,bsd->bts", q * scale, k * scale,
+                    preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+    want = np.asarray(jnp.einsum("bts,bsd->btd", w.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32))
+
+    got = np.asarray(encoder_mha(q * scale, k * scale, v, interpret=True))
+    assert got.shape == want.shape
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2e-2, rel    # bf16 weight rounding; same f32 softmax
+
+
+def test_encoder_mha_block_aligned():
+    """Exact-multiple sequence length (no pad column masking)."""
+    from notsofar_tpu.ops.pallas_kernels import encoder_mha
+    rng = np.random.RandomState(8)
+    BH, S, dk = 2, 512, 32
+    q, k, v = (jnp.asarray(rng.randn(BH, S, dk).astype(np.float32) * 0.2
+                           ).astype(jnp.bfloat16) for _ in range(3))
+    lg = jnp.einsum("btd,bsd->bts", q, k,
+                    preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(lg.astype(jnp.float32), axis=-1)
+    want = np.asarray(jnp.einsum("bts,bsd->btd", w.astype(v.dtype), v,
+                                 preferred_element_type=jnp.float32))
+    got = np.asarray(encoder_mha(q, k, v, interpret=True))
+    rel = np.abs(got - want).max() / np.abs(want).max()
+    assert rel < 2e-2, rel

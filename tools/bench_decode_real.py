@@ -19,6 +19,12 @@ def main():
     ap.add_argument("--batch", type=int, default=24)
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--configs", default="int8,bf16")
+    ap.add_argument("--without-timestamps", action="store_true",
+                    help="ablation: skip the timestamp logit rules")
+    ap.add_argument("--xa-frames", type=int, default=1500,
+                    help="ablation: cross-attention memory length "
+                    "(1500 = real; small values shrink the per-step "
+                    "cross-KV stream to isolate its share)")
     args = ap.parse_args()
     from notsofar_tpu.utils.jax_setup import setup_jax
     setup_jax()
@@ -41,7 +47,8 @@ def main():
         base.init(jax.random.PRNGKey(1)))
 
     rng = np.random.RandomState(0)
-    xa = jnp.asarray(rng.randn(args.batch, 1500, dims.n_audio_state)
+    xa = jnp.asarray(rng.randn(args.batch, args.xa_frames,
+                               dims.n_audio_state)
                      .astype(np.float32) * 0.1).astype(jnp.bfloat16)
 
     for cfgname in args.configs.split(","):
@@ -51,6 +58,7 @@ def main():
             else vars_bf16
         dec = GreedyDecoder(model, tok, DecodeOptions(
             max_new_tokens=args.steps, cross_kv_quant=quant,
+            without_timestamps=args.without_timestamps,
             max_rows_per_dispatch=args.batch))
         dec._eot = dims.n_vocab + 1    # fixed-step: never latch EOT
         initial = tok.sot_sequence
