@@ -113,6 +113,12 @@ def main():
                     help="reference decode recipe: beam-5 + "
                     "condition_on_previous_text (batched-prompt path) "
                     "instead of lockstep greedy")
+    ap.add_argument("--no-parity-tail", action="store_true",
+                    help="skip the parity-recipe tail measurement (one "
+                    "beam-5+conditioned batch appended after the "
+                    "pipelined greedy runs; reported as `parity` in the "
+                    "JSON so every bench records the accuracy "
+                    "configuration's throughput next to the serving one)")
     args = ap.parse_args()
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -258,10 +264,12 @@ def main():
               file=sys.stderr, flush=True)
         return up
 
-    def run_css_asr(tag, up_fut, stage_t):
+    def run_css_asr(tag, up_fut, stage_t, trans=None):
         """CSS + lockstep ASR for one batch; returns the state the diar
         stage needs. Split from run_diar so batch k's diarization (pure
-        device work with big host gaps) can run UNDER batch k+1's ASR."""
+        device work with big host gaps) can run UNDER batch k+1's ASR.
+        trans overrides the transcriber (the parity-recipe tail)."""
+        trans = trans if trans is not None else transcriber
         t0 = time.time()
         up = up_fut.result() if hasattr(up_fut, "result") else up_fut
         # device-resident handoff: the separated int16 streams stay on the
@@ -279,10 +287,10 @@ def main():
         streams = [wav_dev[b, s, :n_reals[b]].astype(jnp.float32)
                    * inv[b, s]
                    for b in range(B) for s in range(3)]
-        results = transcriber.transcribe_batch(streams)
+        results = trans.transcribe_batch(streams)
         stage_t["asr"] = time.time() - t0
         ph = {k: round(v, 2) for k, v in
-              transcriber.last_phase_timer.stage_seconds.items()}
+              trans.last_phase_timer.stage_seconds.items()}
         print(f"{tag}: asr done in {stage_t['asr']:.1f}s {ph}",
               file=sys.stderr, flush=True)
         return dict(tag=tag, results=results,
@@ -419,6 +427,44 @@ def main():
                  + run_stats[i]["asr"] + run_stats[i]["diar"])[n // 2]
     best_stages = run_stats[mid]
 
+    # ---- parity-recipe tail (VERDICT r3 item 2) --------------------------
+    # the reference decodes beam-5 + condition_on_previous_text
+    # (/root/reference/asr/asr.py:52-56); the headline above is the
+    # throughput serving mode. Append ONE batch in the parity mode
+    # (warmup for its compiles, then one timed batch) so every bench
+    # records the accuracy configuration's number too. Diarization is
+    # decode-mode-independent -> the serial estimate reuses the
+    # pipelined runs' median diar time.
+    parity = None
+    if not args.parity_asr and not args.no_parity_tail:
+        try:
+            from notsofar_tpu.asr.beam import BeamDecoder
+            p_opts = TranscribeOptions(condition_on_previous_text=True,
+                                       batched_prompts=True, beam_size=5,
+                                       **common)
+            par = WhisperTranscriber(wmodel, wvars, tok, p_opts)
+            par.decoder = BenchDecoder(
+                BeamDecoder(wmodel, tok, dec_opts, beam_size=5), template)
+            st_w = dict()
+            run_css_asr("parity-warmup", fut, st_w, trans=par)
+            st_p = dict()
+            run_css_asr("parity", pool.submit(ingest), st_p, trans=par)
+            diar_med = float(np.median([s["diar"] for s in run_stats]))
+            par_serial = total_audio / (st_p["css"] + st_p["asr"]
+                                        + diar_med)
+            parity = {"asr_mode": "beam5_conditioned",
+                      "css_s": round(st_p["css"], 2),
+                      "asr_s": round(st_p["asr"], 2),
+                      "diar_s_median": round(diar_med, 2),
+                      "rtfx_serial": round(par_serial, 2)}
+            print(f"parity tail: css {st_p['css']:.2f}s asr "
+                  f"{st_p['asr']:.2f}s (+diar median {diar_med:.2f}s) -> "
+                  f"{par_serial:.1f}x RT serial", file=sys.stderr)
+        except Exception as e:   # the headline JSON must still print
+            parity = {"error": f"{type(e).__name__}: {e}"}
+            print(f"parity tail FAILED: {parity['error']}",
+                  file=sys.stderr)
+
     # ---- analytic FLOP / HBM accounting (VERDICT r2 item 6) --------------
     # which resource bounds each stage: achieved FLOP/s vs peak (MFU) and,
     # for the weight-read-bound decode, achieved HBM GB/s.
@@ -465,6 +511,7 @@ def main():
         "asr_mode": "beam5_conditioned" if args.parity_asr
         else "lockstep_greedy",
         "asr_weights": args.asr_dtype,
+        "parity": parity,
         "mfu": mfu,
         "vs_baseline": round(pipeline_rtfx / 50.0, 3)}))
 
