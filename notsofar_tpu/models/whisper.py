@@ -689,18 +689,63 @@ def quantize_whisper_decoder(variables: Dict) -> Dict:
     positional embedding, biases. The encoder is untouched.
     Incremental decode streams every decoder matrix from HBM each step;
     int8 halves that traffic (the decode stage's bound resource).
+
+    Device-resident params quantize ON DEVICE (a jitted clip/round per
+    kernel) — pulling the ~1.8 GB bf16 decoder to host and re-uploading
+    it was harmless on PCIe but took minutes over a narrow host link.
+    Host (numpy) params keep the numpy path, so serving's load-from-disk
+    flow uploads int8 bytes, never the f32/bf16 originals.
     """
-    import copy
+    on_device = any(isinstance(leaf, jax.Array)
+                    for leaf in jax.tree_util.tree_leaves(
+                        variables["decoder"]))
 
-    def qmat(w):
-        w = np.asarray(w, np.float32)                 # [in, out]
-        s = np.abs(w).max(axis=0) / 127.0
-        s = np.where(s == 0, 1.0, s).astype(np.float32)
-        q = np.clip(np.round(w / s[None, :]), -127, 127).astype(np.int8)
-        return q, s
+    if on_device:
+        @jax.jit
+        def qmat(w):                                  # [in, out] on device
+            w = w.astype(jnp.float32)
+            s = jnp.abs(w).max(axis=0) / 127.0
+            s = jnp.where(s == 0, 1.0, s).astype(jnp.float32)
+            q = jnp.clip(jnp.round(w / s[None, :]),
+                         -127, 127).astype(jnp.int8)
+            return q, s
 
-    dec = copy.deepcopy(jax.tree_util.tree_map(np.asarray,
-                                               variables["decoder"]))
+        @jax.jit
+        def qemb(emb):                                # [V, D] per-row
+            emb = emb.astype(jnp.float32)
+            s = jnp.abs(emb).max(axis=1) / 127.0
+            s = jnp.where(s == 0, 1.0, s).astype(jnp.float32)
+            q = jnp.clip(jnp.round(emb / s[:, None]),
+                         -127, 127).astype(jnp.int8)
+            return q, s
+
+        def leaf_up(x):
+            return x
+    else:
+        def qmat(w):
+            w = np.asarray(w, np.float32)             # [in, out]
+            s = np.abs(w).max(axis=0) / 127.0
+            s = np.where(s == 0, 1.0, s).astype(np.float32)
+            q = np.clip(np.round(w / s[None, :]),
+                        -127, 127).astype(np.int8)
+            return q, s
+
+        def qemb(emb):
+            emb = np.asarray(emb, np.float32)
+            s = np.abs(emb).max(axis=1) / 127.0
+            s = np.where(s == 0, 1.0, s).astype(np.float32)
+            q = np.clip(np.round(emb / s[:, None]),
+                        -127, 127).astype(np.int8)
+            return q, s
+
+        def leaf_up(x):
+            return jnp.asarray(x)
+
+    def copytree(d):
+        return {k: copytree(v) if isinstance(v, dict) else v
+                for k, v in d.items()}
+
+    dec = copytree(variables["decoder"])
     p = dec["params"]
     for name in list(p):
         if not name.startswith("block_"):
@@ -715,12 +760,9 @@ def quantize_whisper_decoder(variables: Dict) -> Dict:
             q, s = qmat(blk[lin]["kernel"])
             blk[lin]["kernel"] = q
             blk[lin]["scale"] = s
-    emb = np.asarray(p["token_embedding"], np.float32)     # [V, D]
-    s = np.abs(emb).max(axis=1) / 127.0
-    s = np.where(s == 0, 1.0, s).astype(np.float32)
-    p["token_embedding"] = np.clip(
-        np.round(emb / s[:, None]), -127, 127).astype(np.int8)
+    q, s = qemb(p["token_embedding"])
+    p["token_embedding"] = q
     p["token_scale"] = s
     out = dict(variables)
-    out["decoder"] = jax.tree_util.tree_map(jnp.asarray, dec)
+    out["decoder"] = jax.tree_util.tree_map(leaf_up, dec)
     return out
