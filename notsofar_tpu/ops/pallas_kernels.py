@@ -292,24 +292,34 @@ def _encoder_mha_kernel(q_ref, k_ref, v_ref, o_ref, *, s_valid: int):
     # weights cast to the value dtype — the einsum path's
     # w.astype(vh.dtype), so f32 models keep f32 parity
     p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
-    o_ref[0] = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+    o = jax.lax.dot_general(p, v, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    # output in the value dtype: the consumer (out-projection Dense)
+    # casts to it anyway, so this is the same rounding point as the
+    # einsum path — and it halves the kernel's store traffic
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def encoder_mha(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
                 interpret: bool = False) -> jnp.ndarray:
     """Fused unmasked self-attention for long-context encoders.
 
-    qh/kh/vh: [BH, S, dk] bf16, attention scale already folded into q and
-    k by the caller. Returns [BH, S, dk] f32.
+    qh/kh/vh: [BH, S, dk], attention scale already folded into q and
+    k by the caller. Returns [BH, S, dk] in the value dtype.
 
     Replaces the XLA einsum formulation for the whisper encoder
     (models/whisper.py::MHA), whose [B, H, 1500, 1500] f32 logits tensor
     is the encode stage's dominant HBM stream (~4.3 GB per layer at
-    B=24 -> measured 17 ms/layer; the MXU work is ~1.4 ms). The stock
+    B=24). Measured at the large-v3 encode shape (B=24, H=20, S=1500,
+    dk=64, v5e): einsum 17.5 ms/layer -> fused 9.2 ms/layer. The
+    remainder is per-element physics, not overhead (flat across block
+    sizes 256..1536): the QK dot contracts dk=64 (half the MXU's 128
+    rows -> ~2.8 ms), plus ~3.5 ms of f32 softmax VPU passes. The stock
     pallas flash_attention kernel measured 40 ms/layer at this shape
     (online-softmax machinery + segment-id masking it doesn't need);
-    keeping all of K/V resident per cell removes both.
+    keeping all of K/V resident per cell removes both. Deferring the
+    softmax normalization into the output tile measured only 0.5 ms
+    more and perturbs numerics -- not taken.
     """
     BH, S, dk = qh.shape
     blk = 512
@@ -333,7 +343,9 @@ def encoder_mha(qh: jnp.ndarray, kh: jnp.ndarray, vh: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec((1, tq, dk), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((BH, S_pad, dk), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((BH, S_pad, dk), vh.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
     )(qh, kh, vh)
     return out[:, :S]
