@@ -3,6 +3,14 @@ einsums) at fixed step count, isolating decode from the rest of the
 pipeline. Compares weight/cross-KV dtype configs on identical shapes.
 
     python tools/bench_decode_real.py [--batch 24] [--steps 80]
+    python tools/bench_decode_real.py --configs int8 --ablate
+
+--ablate additionally times, IN THE SAME PROCESS (the large-v3 param
+init + upload is minutes over a narrow host link, so one process must
+amortize it), the two decode-step decompositions:
+  no_ts    — timestamp logit rules skipped (their share of the step)
+  xa128    — cross-attention memory cut 1500 -> 128 frames (the
+             cross-KV HBM stream's share; weights stream unchanged)
 """
 import argparse
 import sys
@@ -20,11 +28,11 @@ def main():
     ap.add_argument("--steps", type=int, default=80)
     ap.add_argument("--configs", default="int8,bf16")
     ap.add_argument("--without-timestamps", action="store_true",
-                    help="ablation: skip the timestamp logit rules")
+                    help="skip the timestamp logit rules in every run")
     ap.add_argument("--xa-frames", type=int, default=1500,
-                    help="ablation: cross-attention memory length "
-                    "(1500 = real; small values shrink the per-step "
-                    "cross-KV stream to isolate its share)")
+                    help="cross-attention memory length (1500 = real)")
+    ap.add_argument("--ablate", action="store_true",
+                    help="also run the no_ts / xa128 variants per config")
     args = ap.parse_args()
     from notsofar_tpu.utils.jax_setup import setup_jax
     setup_jax()
@@ -47,18 +55,18 @@ def main():
         base.init(jax.random.PRNGKey(1)))
 
     rng = np.random.RandomState(0)
-    xa = jnp.asarray(rng.randn(args.batch, args.xa_frames,
-                               dims.n_audio_state)
-                     .astype(np.float32) * 0.1).astype(jnp.bfloat16)
 
-    for cfgname in args.configs.split(","):
-        quant = cfgname == "int8"
+    def make_xa(frames):
+        return jnp.asarray(
+            rng.randn(args.batch, frames, dims.n_audio_state)
+            .astype(np.float32) * 0.1).astype(jnp.bfloat16)
+
+    def run_one(tag, quant, variables, without_ts, xa_frames):
         model = WhisperModel(dims, dtype=jnp.bfloat16, quant_decoder=quant)
-        variables = quantize_whisper_decoder(vars_bf16) if quant \
-            else vars_bf16
+        xa = make_xa(xa_frames)
         dec = GreedyDecoder(model, tok, DecodeOptions(
             max_new_tokens=args.steps, cross_kv_quant=quant,
-            without_timestamps=args.without_timestamps,
+            without_timestamps=without_ts,
             max_rows_per_dispatch=args.batch))
         dec._eot = dims.n_vocab + 1    # fixed-step: never latch EOT
         initial = tok.sot_sequence
@@ -77,9 +85,27 @@ def main():
             np.asarray(s)
             times.append(time.time() - t0)
         dt = min(times)
-        print(f"{cfgname}: compile+first {comp:.0f}s | {dt:.2f}s for "
+        print(f"{tag}: compile+first {comp:.0f}s | {dt:.2f}s for "
               f"{args.steps} steps -> {dt / args.steps * 1e3:.2f} ms/step",
               flush=True)
+        return dt / args.steps * 1e3
+
+    for cfgname in args.configs.split(","):
+        quant = cfgname == "int8"
+        variables = quantize_whisper_decoder(vars_bf16) if quant \
+            else vars_bf16
+        ms = run_one(cfgname, quant, variables, args.without_timestamps,
+                     args.xa_frames)
+        if args.ablate:
+            ms_nots = run_one(f"{cfgname}/no_ts", quant, variables, True,
+                              args.xa_frames)
+            ms_xa = run_one(f"{cfgname}/xa128", quant, variables,
+                            args.without_timestamps, 128)
+            print(f"{cfgname} decomposition: timestamp rules "
+                  f"{ms - ms_nots:+.2f} ms/step | cross-KV stream "
+                  f"{ms - ms_xa:+.2f} ms/step | residual "
+                  f"(weights+selfattn+logits+sampling) {ms_xa:.2f}",
+                  flush=True)
 
 
 if __name__ == "__main__":
