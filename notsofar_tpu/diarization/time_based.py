@@ -55,6 +55,11 @@ def energy_vad(wav: np.ndarray, sr: int, frame_sec: float = 0.01,
     return db > threshold_db
 
 
+# an explicitly passed energy_vad reports the same label as the implicit
+# fallback (vad_fn=None), not "custom"
+energy_vad.vad_kind = "energy"
+
+
 def _embed_windows(concat: np.ndarray, sr: int, encoder,
                    starts: List[int], win: int) -> np.ndarray:
     """Batched speaker embeddings for fixed-length windows of `concat`."""
@@ -208,8 +213,11 @@ def diarize_streams(wavs: List[np.ndarray], sr: int, encoder,
     clustering/MSDD hyperparameters come from the recipe. Without a recipe
     the legacy single-scale 1.5 s / 0.75 s behavior is kept.
     """
+    # only make_recipe_vad-wrapped functions carry vad_kind="marblenet";
+    # an explicitly passed custom vad must not masquerade as it (the
+    # e2e validators key the loud-fallback report off this label)
     LAST_VAD_USED["kind"] = ("energy" if vad_fn is None
-                             else getattr(vad_fn, "vad_kind", "marblenet"))
+                             else getattr(vad_fn, "vad_kind", "custom"))
     vad_fn = vad_fn or energy_vad
     concat = np.concatenate(wavs)
     channel_len = max(len(w) for w in wavs)

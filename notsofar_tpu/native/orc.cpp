@@ -80,6 +80,12 @@ int64_t orc_exact(const int32_t* ref_ids, const double* ref_beg,
     const int64_t layer_sz = J * A;
     const int64_t ops = (n + 1) * layer_sz * (2 * S + 2);
     if (ops > max_ops || layer_sz > max_ops) return -1;
+    // explicit memory cap: max_ops bounds WORK but only loosely bounds the
+    // two DP layers' allocation (few ref words x huge stream-length product
+    // can pass the ops check yet want gigabytes); refuse instead of OOMing
+    // so the caller falls back to enumeration / raises a clean error
+    const int64_t kMemCapBytes = 384LL << 20;   // 384 MB for both layers
+    if (layer_sz > kMemCapBytes / (2 * (int64_t)sizeof(Cell))) return -1;
 
     std::vector<Cell> cur(layer_sz, {INF, 0, 0, 0});
     std::vector<Cell> nxt(layer_sz);

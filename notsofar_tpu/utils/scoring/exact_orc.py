@@ -129,6 +129,101 @@ def _sub_seq(seq: WordSeq, idx: List[int]) -> WordSeq:
     return WordSeq(seq.ids[ii], seq.beg[ii], seq.end[ii])
 
 
+def _overlap_blocks(utts, streams: Dict[str, WordSeq], stream_ids,
+                    collar: float) -> List[Dict]:
+    """Temporal block decomposition shared by the exact scorer and the
+    production scorer's certificate pass.
+
+    Returns a list of dicts: {'utts': [utt indices], 'streams':
+    {sid: WordSeq restricted to the block}} — pure-insertion blocks have
+    an empty 'utts' list."""
+    # interval items: (start, end, kind, payload); utterances use their
+    # words' collar-extended pseudo-time extent
+    items = []
+    for ui, u in enumerate(utts):
+        items.append((float(u.seq.beg.min()) - collar,
+                      float(u.seq.end.max()) + collar, "u", ui))
+    for sid in stream_ids:
+        st = streams[sid]
+        for wi in range(len(st)):
+            items.append((float(st.beg[wi]), float(st.end[wi]), "h",
+                          (sid, wi)))
+    items.sort(key=lambda x: (x[0], x[1]))
+
+    # sweep into maximal overlap blocks; the kernel's overlap test is
+    # strict (beg < end), so a new item starting exactly at the current
+    # block's max end cannot interact with it
+    raw: List[List] = []
+    cur_end = -np.inf
+    for it in items:
+        if not raw or it[0] >= cur_end:
+            raw.append([it])
+            cur_end = it[1]
+        else:
+            raw[-1].append(it)
+            cur_end = max(cur_end, it[1])
+
+    blocks = []
+    for block in raw:
+        but = sorted(ui for _, _, k, ui in block if k == "u")
+        by_stream: Dict[str, List[int]] = {}
+        for _, _, k, p in block:
+            if k == "h":
+                by_stream.setdefault(p[0], []).append(p[1])
+        blocks.append(dict(
+            utts=but,
+            streams={sid: _sub_seq(streams[sid], sorted(wis))
+                     for sid, wis in sorted(by_stream.items())}))
+    return blocks
+
+
+def _block_exact(utt_seqs: List[WordSeq], block_streams: Dict[str, WordSeq],
+                 S_total: int, collar: float,
+                 max_block_utts: Optional[int] = None
+                 ) -> Optional[EditCounts]:
+    """Exact optimum of one block: native multidimensional DP first,
+    S^U assignment enumeration as fallback. None = infeasible (native
+    kernel refused / unavailable AND enumeration would exceed
+    max_block_utts; max_block_utts=None disables enumeration entirely)."""
+    active = sorted(block_streams)
+    # exact multidimensional DP (native/orc.cpp): polynomial in the
+    # block size, so chained-overlap blocks (#DebateOverlaps regime)
+    # score exactly; enumeration remains the fallback when the kernel
+    # is unavailable or the block's stream product explodes
+    native = _orc_exact_native(utt_seqs,
+                               [block_streams[sid] for sid in active],
+                               collar)
+    if native is not None:
+        return native
+    choices: List = list(active)
+    if len(active) < S_total:
+        choices.append(None)   # canonical pure-deletion (empty) stream
+    if len(choices) > 1 and (max_block_utts is None
+                             or len(utt_seqs) > max_block_utts):
+        return None
+    best = None
+    for assign in itertools.product(range(len(choices)),
+                                    repeat=len(utt_seqs)):
+        counts = []
+        for ci, ch in enumerate(choices):
+            refcat = _concat_seqs(
+                [u for u, a in zip(utt_seqs, assign) if a == ci])
+            if ch is None:
+                counts.append(EditCounts(len(refcat), 0, 0, len(refcat)))
+            else:
+                counts.append(_tclev(refcat, block_streams[ch], collar))
+        errs = sum(c.errors for c in counts)
+        if best is None or errs < best[0]:
+            best = (errs, counts)
+    total = EditCounts(0, 0, 0, 0)
+    for c in best[1]:
+        total = EditCounts(total.errors + c.errors,
+                           total.substitutions + c.substitutions,
+                           total.insertions + c.insertions,
+                           total.deletions + c.deletions)
+    return total
+
+
 def tcorc_wer_exact(ref: SegLst, hyp: SegLst, collar: float = 5.0,
                     max_block_utts: int = 14) -> Dict:
     """Exact tcORC-WER via temporal block decomposition.
@@ -151,89 +246,84 @@ def tcorc_wer_exact(ref: SegLst, hyp: SegLst, collar: float = 5.0,
                     errors=errors, length=length, insertions=ins,
                     deletions=length, substitutions=0)
 
-    # interval items: (start, end, kind, payload); utterances use their
-    # words' collar-extended pseudo-time extent
-    items = []
-    for ui, u in enumerate(utts):
-        items.append((float(u.seq.beg.min()) - collar,
-                      float(u.seq.end.max()) + collar, "u", ui))
-    for sid in stream_ids:
-        st = streams[sid]
-        for wi in range(len(st)):
-            items.append((float(st.beg[wi]), float(st.end[wi]), "h",
-                          (sid, wi)))
-    items.sort(key=lambda x: (x[0], x[1]))
-
-    # sweep into maximal overlap blocks; the kernel's overlap test is
-    # strict (beg < end), so a new item starting exactly at the current
-    # block's max end cannot interact with it
-    blocks: List[List] = []
-    cur_end = -np.inf
-    for it in items:
-        if not blocks or it[0] >= cur_end:
-            blocks.append([it])
-            cur_end = it[1]
-        else:
-            blocks[-1].append(it)
-            cur_end = max(cur_end, it[1])
-
     tot = dict(errors=0, substitutions=0, insertions=0, deletions=0)
-    for block in blocks:
-        but = sorted(ui for _, _, k, ui in block if k == "u")
-        by_stream: Dict[str, List[int]] = {}
-        for _, _, k, p in block:
-            if k == "h":
-                by_stream.setdefault(p[0], []).append(p[1])
-        active = sorted(by_stream)
-        if not but:
+    for block in _overlap_blocks(utts, streams, stream_ids, collar):
+        if not block["utts"]:
             # pure insertions: no utterance can claim these words
-            for sid in active:
-                tot["errors"] += len(by_stream[sid])
-                tot["insertions"] += len(by_stream[sid])
+            ins = sum(len(s) for s in block["streams"].values())
+            tot["errors"] += ins
+            tot["insertions"] += ins
             continue
-        block_streams = {sid: _sub_seq(streams[sid], sorted(by_stream[sid]))
-                         for sid in active}
-        # exact multidimensional DP (native/orc.cpp): polynomial in the
-        # block size, so chained-overlap blocks (#DebateOverlaps regime)
-        # score exactly instead of raising; enumeration remains the
-        # fallback when the kernel is unavailable or the block's stream
-        # product explodes
-        native = _orc_exact_native([utts[ui].seq for ui in but],
-                                   [block_streams[sid] for sid in active],
-                                   collar)
-        if native is not None:
-            tot["errors"] += native.errors
-            tot["substitutions"] += native.substitutions
-            tot["insertions"] += native.insertions
-            tot["deletions"] += native.deletions
-            continue
-        choices: List = list(active)
-        if len(active) < S:
-            choices.append(None)   # canonical pure-deletion (empty) stream
-        if len(choices) > 1 and len(but) > max_block_utts:
+        counts = _block_exact([utts[ui].seq for ui in block["utts"]],
+                              block["streams"], S, collar, max_block_utts)
+        if counts is None:
             raise ValueError(
-                f"block with {len(but)} utterances x {len(choices)} choices "
-                f"exceeds max_block_utts={max_block_utts}; session not "
-                "exactly scorable by block decomposition")
-        best = None
-        for assign in itertools.product(range(len(choices)),
-                                        repeat=len(but)):
-            counts = []
-            for ci, ch in enumerate(choices):
-                refcat = _concat_seqs(
-                    [utts[ui].seq for ui, a in zip(but, assign) if a == ci])
-                if ch is None:
-                    counts.append(EditCounts(len(refcat), 0, 0,
-                                             len(refcat)))
-                else:
-                    counts.append(_tclev(refcat, block_streams[ch], collar))
-            errs = sum(c.errors for c in counts)
-            if best is None or errs < best[0]:
-                best = (errs, counts)
-        tot["errors"] += best[0]
-        for c in best[1]:
-            tot["substitutions"] += c.substitutions
-            tot["insertions"] += c.insertions
-            tot["deletions"] += c.deletions
+                f"block with {len(block['utts'])} utterances x "
+                f"{len(block['streams']) + 1} choices exceeds "
+                f"max_block_utts={max_block_utts}; session not exactly "
+                "scorable by block decomposition")
+        tot["errors"] += counts.errors
+        tot["substitutions"] += counts.substitutions
+        tot["insertions"] += counts.insertions
+        tot["deletions"] += counts.deletions
 
     return dict(error_rate=tot["errors"] / length, length=length, **tot)
+
+
+def tcorc_certificate(ref: SegLst, hyp: SegLst, collar: float = 5.0
+                      ) -> Dict:
+    """Certification pass for the production tcORC scorer: never raises.
+
+    Attempts the exact block decomposition; returns
+      {'exact': bool,          # every block solved to optimality
+       'optimum': int | None,  # exact total errors when exact
+       'n_blocks': int, 'max_block_utts': int, 'max_block_words': int,
+       'infeasible_blocks': int}
+    so the scorer can state whether its local-search result is the true
+    optimum or only an upper bound (and on which block sizes it gave up).
+    Enumeration fallback is disabled here (the native DP is the scalable
+    path; certification must stay cheap on real sessions)."""
+    vocab = Vocab()
+    streams = _speaker_word_seqs(hyp, vocab)
+    stream_ids = sorted(streams)
+    utts = _utterances(ref, vocab)
+    S = len(stream_ids)
+    length = sum(len(u.seq) for u in utts)
+
+    if S == 0 or length == 0:
+        ins = sum(len(s) for s in streams.values())
+        return dict(exact=True, optimum=length + ins, n_blocks=0,
+                    max_block_utts=0, max_block_words=0,
+                    infeasible_blocks=0,
+                    counts=EditCounts(length + ins, 0, ins, length))
+
+    blocks = _overlap_blocks(utts, streams, stream_ids, collar)
+    tot = EditCounts(0, 0, 0, 0)
+    infeasible = 0
+    max_utts = 0
+    max_words = 0
+    for block in blocks:
+        n_words = (sum(len(utts[ui].seq) for ui in block["utts"])
+                   + sum(len(s) for s in block["streams"].values()))
+        max_utts = max(max_utts, len(block["utts"]))
+        max_words = max(max_words, n_words)
+        if not block["utts"]:
+            ins = sum(len(s) for s in block["streams"].values())
+            tot = EditCounts(tot.errors + ins, tot.substitutions,
+                             tot.insertions + ins, tot.deletions)
+            continue
+        counts = _block_exact([utts[ui].seq for ui in block["utts"]],
+                              block["streams"], S, collar,
+                              max_block_utts=10)
+        if counts is None:
+            infeasible += 1
+        else:
+            tot = EditCounts(tot.errors + counts.errors,
+                             tot.substitutions + counts.substitutions,
+                             tot.insertions + counts.insertions,
+                             tot.deletions + counts.deletions)
+    exact = infeasible == 0
+    return dict(exact=exact, optimum=tot.errors if exact else None,
+                n_blocks=len(blocks), max_block_utts=max_utts,
+                max_block_words=max_words, infeasible_blocks=infeasible,
+                counts=tot if exact else None)

@@ -462,3 +462,54 @@ def test_production_tcorc_on_chained_overlap_blocks():
         gaps.append(got - exact)
     assert all(g == 0 for g in gaps), \
         f"production above exact optimum on chained blocks: gaps={gaps}"
+
+
+def test_tcorc_certificate_exact_on_meeting_sessions():
+    """Production tcorc_wer attaches a certificate (VERDICT r4 item 8):
+    on meeting-shaped sessions every block must be natively solvable, the
+    certificate must say exact=True, and the exact optimum must equal the
+    local-search result."""
+    from notsofar_tpu.utils.scoring.exact_orc import _load_native
+    if _load_native() is None:
+        pytest.skip("native orc kernel unavailable")
+    rng = np.random.RandomState(5)
+    words = ["alpha", "beta", "gamma", "delta"]
+    for case in range(8):
+        ref, hyp = _random_session(rng, int(rng.randint(6, 20)),
+                                   int(rng.randint(2, 4)), words,
+                                   overlap_rate=0.4)
+        res = tcorc_wer(ref, hyp, collar=3.0)
+        cert = res["certificate"]
+        assert cert["exact"], (case, cert)
+        assert cert["infeasible_blocks"] == 0
+        assert cert["optimum"] == res["errors"], (case, cert, res["errors"])
+        assert cert["matches_local_search"] is True
+        assert cert["n_blocks"] >= 1
+
+
+def test_tcorc_certificate_upper_bound_flag(monkeypatch):
+    """When the exact DP cannot cover a block (native kernel unavailable,
+    enumeration disabled in the certificate pass), the scorer must mark
+    its result as an upper bound instead of silently claiming exactness —
+    and still return the local-search numbers unchanged."""
+    from notsofar_tpu.utils.scoring import exact_orc
+    ref = SegLst([_seg("s", f"spk{u}", 0.0, 2.0, "a b") for u in range(12)])
+    hyp = SegLst([_seg("s", "st0", 0.0, 2.0, "a b"),
+                  _seg("s", "st1", 0.0, 2.0, "a b")])
+    baseline = tcorc_wer(ref, hyp, collar=5.0, certify=False)
+    monkeypatch.setattr(exact_orc, "_lib", None)
+    monkeypatch.setattr(exact_orc, "_lib_tried", True)
+    res = tcorc_wer(ref, hyp, collar=5.0)
+    cert = res["certificate"]
+    assert cert["exact"] is False
+    assert cert["infeasible_blocks"] == 1 and cert["n_blocks"] == 1
+    assert cert["optimum"] is None
+    assert cert["matches_local_search"] is None
+    assert res["errors"] == baseline["errors"]
+
+
+def test_tcorc_certify_flag_off():
+    ref = SegLst([_seg("s", "A", 0.0, 2.0, "a b")])
+    hyp = SegLst([_seg("s", "st0", 0.0, 2.0, "a b")])
+    res = tcorc_wer(ref, hyp, collar=5.0, certify=False)
+    assert "certificate" not in res and res["errors"] == 0
