@@ -126,12 +126,15 @@ if __name__ == "__main__":
         main(use_pallas="--pallas" in sys.argv)
     else:
         # default: the composed-pipeline metric (the north-star number).
-        # User flags pass through; the canonical scope (8 sessions x 120 s,
-        # 2 repeats) applies only where the user didn't override it.
+        # User flags pass through; the canonical scope applies only where
+        # the user didn't override it. 360 s sessions = the dev-set shape
+        # (BASELINE.json's metric is ~6 min MC sessions; VERDICT r4 item
+        # 7 made this the headline after r4 measured the 120 s shape as
+        # conservative — shorter sessions pay MORE per-batch link cost).
         import bench_pipeline
         argv = sys.argv[1:]
-        for flag, dflt in (("--sessions", "8"), ("--seconds", "120"),
-                           ("--repeats", "4")):
+        for flag, dflt in (("--sessions", "8"), ("--seconds", "360"),
+                           ("--repeats", "3")):
             if flag not in argv:
                 argv += [flag, dflt]
         sys.argv = [sys.argv[0]] + argv

@@ -13,8 +13,12 @@ logit filters implemented as pure functions of a small carry state:
 * eot latching.
 
 Word timestamps use whisper's approach: a second teacher-forced pass
-collecting cross-attention from alignment heads, then DTW on the host
-(dtw/median-filter in numpy — tiny matrices).
+collecting cross-attention from alignment heads. The timing post-
+processing (head z-norm, median filter) AND the DTW itself run on device
+(_dtw_token_starts: min-plus associative-scan DP + scanned traceback),
+batched across streams/windows — only each token's start frame and the
+token probabilities are downloaded. A host numpy/C++ DTW (dtw_path)
+remains for small offline callers.
 """
 from dataclasses import dataclass
 from functools import partial

@@ -389,9 +389,14 @@ class WhisperTranscriber:
         if options.max_rows_per_dispatch is not None:
             extra["max_rows_per_dispatch"] = options.max_rows_per_dispatch
         elif kv_q:
-            # int8 cross-KV halves the per-row HBM cost, so twice the rows
-            # fit one dispatch (fewer weight re-reads per decode step)
-            extra["max_rows_per_dispatch"] = 24
+            # int8 cross-KV quarters the per-row HBM cost; 48 rows fit one
+            # dispatch (measured: greedy 48 rows ~8 GB, beam-5 at 9
+            # streams x 5 beams ~8.7 GB incl. the reorder double buffer —
+            # both inside v5e's 16 GB). Fewer dispatch chains matter most
+            # for beam-5: each chain re-reads EVERY decoder weight every
+            # step, so 24 streams at cap 12 (2 streams/dispatch) paid 12
+            # weight streams per step where cap 48 pays 3.
+            extra["max_rows_per_dispatch"] = 48
         dec_opts = DecodeOptions(language=options.language,
                                  max_new_tokens=options.max_new_tokens,
                                  cross_kv_quant=kv_q, **extra)

@@ -114,7 +114,7 @@ class MHA(nn.Module):
 
     @nn.compact
     def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None,
-                 precomputed_kv=None):
+                 precomputed_kv=None, pad_lens=None):
         """x: [B, T, D] queries. xa: cross-attention memory [B, S, D] or
         None for self-attention. kv_cache: optional (k, v) arrays
         [B, ctx, D] to read/update at cache_index (self-attn decode).
@@ -149,8 +149,31 @@ class MHA(nn.Module):
                 ck, k.astype(ck.dtype), cache_index, axis=1)
             cv = jax.lax.dynamic_update_slice_in_dim(
                 cv, v.astype(cv.dtype), cache_index, axis=1)
-            k, v = ck.astype(k.dtype), cv.astype(v.dtype)
             new_cache = (ck, cv)
+            if x.shape[1] == 1 and d_k in (64, 128) \
+                    and self.n_state % 128 == 0:
+                # incremental decode step: XLA lowers the per-(batch,
+                # head) [1, dk] x [ctx, dk] contractions below to B*H
+                # tiny MXU ops per layer whose issue overhead — not
+                # bytes — owns the measured decode residual (9.8 ms/step
+                # at B=24 vs a ~1.5 ms weights+cache roofline,
+                # tools/bench_decode_real.py --ablate). The fused kernel
+                # streams each row's cache once; its mask reproduces the
+                # suffix-decode mask (incl. pad_lens) exactly, so the
+                # `mask` argument is ignored on this path.
+                from notsofar_tpu.ops.pallas_kernels import attn_step
+                interpret = jax.default_backend() == "cpu"
+                B = q.shape[0]
+                pads = (jnp.zeros(B, jnp.int32) if pad_lens is None
+                        else pad_lens)
+                q_eff = (q * (d_k ** -0.5)).astype(ck.dtype)
+                out = attn_step(q_eff, ck, cv, cache_index, pads, d_k,
+                                interpret=interpret)
+                out = out.reshape(B, 1, self.n_state)
+                out = _dense(self.quant, self.n_state, True, self.dtype,
+                             "out")(out.astype(self.dtype))
+                return out, None, new_cache
+            k, v = ck.astype(k.dtype), cv.astype(v.dtype)
 
         B, T, _ = q.shape
         S = k.shape[1]
@@ -159,7 +182,11 @@ class MHA(nn.Module):
         vh = v.reshape(B, S, self.n_head, d_k).transpose(0, 2, 1, 3)
         scale = d_k ** -0.25
         if (mask is None and new_cache is None and xa is None
-                and T == S and T >= 512):
+                and 512 <= T == S <= 2048):
+            # the upper bound is the kernel's VMEM budget: encoder_mha
+            # keeps full K/V rows plus a [tq, S_pad] f32 logits block
+            # resident, sized for whisper's S=1500; a much longer context
+            # would fail to compile instead of falling back
             # long-context encoder self-attention: the einsum below
             # materializes [B, H, T, T] f32 logits in HBM (~4.3 GB/layer
             # at whisper large-v3 encode, B=24 — the encode stage's
@@ -263,11 +290,12 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, xa=None, mask=None, kv_cache=None, cache_index=None,
-                 cross_kv=None):
+                 cross_kv=None, pad_lens=None):
         h = nn.LayerNorm(epsilon=LN_EPS, name="attn_ln")(x)
         a, _, new_cache = MHA(self.n_state, self.n_head, self.dtype,
                               quant=self.quant, name="attn")(
-                                  h, None, mask, kv_cache, cache_index)
+                                  h, None, mask, kv_cache, cache_index,
+                                  pad_lens=pad_lens)
         x = x + a
         cross_w = None
         if self.cross_attention:
@@ -401,7 +429,8 @@ class TextDecoder(nn.Module):
                 d.n_text_state, d.n_text_head, cross_attention=True,
                 dtype=self.dtype, quant=self.quant, name=f"block_{i}")(
                     x, xa, mask, cache, pos_offset,
-                    cross_kv=cross_kvs[i] if cross_kvs is not None else None)
+                    cross_kv=cross_kvs[i] if cross_kvs is not None else None,
+                    pad_lens=pad_lens)
             new_caches.append(nc)
             if return_cross_attn:
                 cross_ws.append(cw)

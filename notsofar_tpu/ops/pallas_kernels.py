@@ -147,6 +147,126 @@ def xattn_int8(q_eff: jnp.ndarray, k8: jnp.ndarray, v8: jnp.ndarray,
     )(q_eff, k8, v8, v_scale3)
 
 
+def _attn_step_kernel(pos_ref, pad_ref, q_ref, k_ref, v_ref, o_ref, *,
+                      dk: int):
+    """One batch row's single-token self-attention against its KV cache.
+
+    Blocks: q [1, 1, D] (compute dtype, both d_k**-0.25 factors already
+    folded in — the cache-side factor is exact because the kernel applies
+    no k scaling); k/v [1, ctx, D] cache rows (position pos already
+    written by the caller's dynamic_update_slice); out [1, 1, D] f32.
+    pos_ref/pad_ref: SMEM scalars — current cache slot and this row's
+    left-pad width (masked prompt slots; see TextDecoder pad_lens).
+
+    Mask (matching TextDecoder's suffix-decode mask exactly): key s is
+    visible iff s <= pos and (s >= pad or s == pos).
+
+    Heads are processed in 128-lane groups exactly like _xattn_int8_kernel
+    (g = 128//dk heads per group): per group a [g, g*dk] q-row block (head
+    i's lanes live only in row i) dots against the cache slice — ONE MXU
+    dot per group for logits and one for the attention-value product, with
+    all heads' logit rows stacked into a single [H, ctx] block so the
+    masked softmax runs once per cell."""
+    q = q_ref[0]                                   # [1, D] compute dtype
+    k = k_ref[0]                                   # [ctx, D]
+    v = v_ref[0]
+    pos = pos_ref[0]
+    pad = pad_ref[pl.program_id(0)]
+    ctx, D = k.shape
+    lanes = min(D, 128)
+    g = max(lanes // dk, 1)
+    n_groups = D // (g * dk)
+    H = D // dk
+    # same structure as _xattn_int8_kernel at T=1 (all row ops stay
+    # [1, 128-multiple] — Mosaic rejects sublane broadcasts of 1-row
+    # vectors, so heads are masked one [1, g*dk] row at a time)
+    lane_head = jax.lax.broadcasted_iota(jnp.int32, (1, g * dk), 1) // dk
+
+    rows = []
+    for grp in range(n_groups):
+        sl = slice(grp * g * dk, (grp + 1) * g * dk)
+        qg = q[:, sl]                              # [1, g*dk]
+        kg = k[:, sl]                              # [ctx, g*dk]
+        for i in range(g):
+            qi = jnp.where(lane_head == i, qg, jnp.zeros((), qg.dtype))
+            rows.append(jax.lax.dot_general(
+                qi, kg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))      # [1, ctx]
+    lg = rows[0] if len(rows) == 1 else jnp.concatenate(rows, axis=0)
+    # mask: s <= pos and (s >= pad or s == pos) — shared across head rows
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (H, ctx), 1)
+    visible = (s_iota <= pos) & ((s_iota >= pad) | (s_iota == pos))
+    lg = jnp.where(visible, lg, -1e30)
+    m = jnp.max(lg, axis=-1, keepdims=True)
+    p = jnp.exp(lg - m)
+    p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(v.dtype)
+
+    outs = []
+    for grp in range(n_groups):
+        sl = slice(grp * g * dk, (grp + 1) * g * dk)
+        vg = v[:, sl]                              # [ctx, g*dk]
+        pg = p[grp * g:(grp + 1) * g]              # [g, ctx]
+        ov = jax.lax.dot_general(
+            pg, vg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)    # [g, g*dk]
+        # head i's output lives in row i's lane range — collapse rows
+        # (lane_head maps lane -> head index within the group, so the
+        # where() selects row i exactly on head i's lanes)
+        og = ov[0:1]                               # [1, g*dk]
+        for i in range(1, g):
+            og = jnp.where(lane_head == i, ov[i:i + 1], og)
+        outs.append(og)
+    o = outs[0] if n_groups == 1 else jnp.concatenate(outs, axis=-1)
+    o_ref[0] = o
+
+
+@functools.partial(jax.jit, static_argnames=("dk", "interpret"))
+def attn_step(q_eff: jnp.ndarray, k_cache: jnp.ndarray,
+              v_cache: jnp.ndarray, pos: jnp.ndarray, pad_lens: jnp.ndarray,
+              dk: int, interpret: bool = False) -> jnp.ndarray:
+    """Fused single-token KV-cache self-attention (decode path).
+
+    q_eff: [B, 1, D] with the full d_k**-0.5 attention scaling folded in;
+    k_cache/v_cache: [B, ctx, D] (current token already written at pos);
+    pos: [] int32 cache slot of this token (uniform across rows);
+    pad_lens: [B] int32 masked left-pad widths (zeros when prompts are
+    uniform). Returns [B, 1, D] f32 attention output pre-out-projection.
+
+    Replaces the einsum formulation for T=1 decode steps: XLA lowers the
+    per-(batch, head) [1, dk] x [ctx, dk] logits/value contractions to
+    B*H tiny MXU ops per layer whose issue overhead — not bytes — owns
+    the measured 9.8 ms/step residual at B=24 (tools/bench_decode_real
+    --ablate; the weights+cache roofline is ~1.5 ms). One grid cell per
+    row streams the row's cache once and runs 2 dots per 128-lane head
+    group."""
+    B, T, D = q_eff.shape
+    assert T == 1
+    ctx = k_cache.shape[1]
+    pos1 = jnp.reshape(jnp.asarray(pos, jnp.int32), (1,))
+    pads = pad_lens.astype(jnp.int32).reshape(B)
+    kern = functools.partial(_attn_step_kernel, dk=dk)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, 1, D), lambda b, pos_r, pad_r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ctx, D), lambda b, pos_r, pad_r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, ctx, D), lambda b, pos_r, pad_r: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D), lambda b, pos_r, pad_r: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+        interpret=interpret,
+    )(pos1, pads, q_eff, k_cache, v_cache)
+
+
 def _dwconv1d_kernel(x_ref, w_ref, o_ref, *, k: int):
     """One batch row's depthwise conv. Blocks: x [1, T+k-1, C] bf16
     (caller pre-pads time by (k-1)//2 each side); w [k, C] f32;

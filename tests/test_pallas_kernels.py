@@ -155,3 +155,68 @@ def test_encoder_mha_block_aligned():
     got = np.asarray(encoder_mha(q, k, v, interpret=True))
     rel = np.abs(got - want).max() / np.abs(want).max()
     assert rel < 2e-2, rel
+
+
+def test_attn_step_matches_einsum_reference():
+    """Fused single-token KV-cache self-attention == the einsum
+    formulation (TextDecoder suffix-decode mask), incl. pad masking."""
+    from notsofar_tpu.ops.pallas_kernels import attn_step
+    rng = np.random.RandomState(3)
+    B, ctx, H, dk = 3, 64, 4, 64
+    D = H * dk
+    pos = 37
+    pads = np.asarray([0, 5, 12], np.int32)
+    q = rng.randn(B, 1, D).astype(np.float32) * 0.3
+    kc = rng.randn(B, ctx, D).astype(np.float32) * 0.3
+    vc = rng.randn(B, ctx, D).astype(np.float32) * 0.3
+    # zero rows past pos (never written in a real decode)
+    kc[:, pos + 1:] = 0.0
+    vc[:, pos + 1:] = 0.0
+    scale = dk ** -0.5
+
+    got = np.asarray(attn_step(
+        jnp.asarray(q * scale), jnp.asarray(kc), jnp.asarray(vc),
+        jnp.asarray(pos, jnp.int32), jnp.asarray(pads), dk,
+        interpret=True))                            # [B, 1, D]
+
+    # reference: per-head einsum with the TextDecoder mask
+    qh = q.reshape(B, 1, H, dk).transpose(0, 2, 1, 3)
+    kh = kc.reshape(B, ctx, H, dk).transpose(0, 2, 1, 3)
+    vh = vc.reshape(B, ctx, H, dk).transpose(0, 2, 1, 3)
+    lg = np.einsum("bhtd,bhsd->bhts", qh * scale, kh)
+    keys = np.arange(ctx)
+    for b in range(B):
+        vis = (keys <= pos) & ((keys >= pads[b]) | (keys == pos))
+        lg[b, :, :, ~vis] = -1e30
+    w = np.exp(lg - lg.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    want = np.einsum("bhts,bhsd->bhtd", w, vh).transpose(0, 2, 1, 3) \
+        .reshape(B, 1, D)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_attn_step_single_group_dk128():
+    """dk=128 -> one head per 128-lane group (g=1 path)."""
+    from notsofar_tpu.ops.pallas_kernels import attn_step
+    rng = np.random.RandomState(4)
+    B, ctx, H, dk = 2, 32, 2, 128
+    D = H * dk
+    pos = 10
+    q = rng.randn(B, 1, D).astype(np.float32) * 0.3
+    kc = rng.randn(B, ctx, D).astype(np.float32) * 0.3
+    vc = rng.randn(B, ctx, D).astype(np.float32) * 0.3
+    scale = dk ** -0.5
+    got = np.asarray(attn_step(
+        jnp.asarray(q * scale), jnp.asarray(kc), jnp.asarray(vc),
+        jnp.asarray(pos, jnp.int32), jnp.zeros(B, jnp.int32), dk,
+        interpret=True))
+    qh = q.reshape(B, 1, H, dk).transpose(0, 2, 1, 3)
+    kh = kc.reshape(B, ctx, H, dk).transpose(0, 2, 1, 3)
+    vh = vc.reshape(B, ctx, H, dk).transpose(0, 2, 1, 3)
+    lg = np.einsum("bhtd,bhsd->bhts", qh * scale, kh)
+    lg[..., np.arange(ctx) > pos] = -1e30
+    w = np.exp(lg - lg.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    want = np.einsum("bhts,bhsd->bhtd", w, vh).transpose(0, 2, 1, 3) \
+        .reshape(B, 1, D)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
