@@ -33,10 +33,14 @@ class BeamDecoder(GreedyDecoder):
 
     def __init__(self, model: WhisperModel, tokenizer: WhisperTokenizer,
                  options: DecodeOptions = DecodeOptions(),
-                 beam_size: int = 5, cache_dtype=jnp.bfloat16):
+                 beam_size: int = 5, cache_dtype=jnp.bfloat16,
+                 split_cache: bool = True):
         super().__init__(model, tokenizer, options)
         self.beam_size = beam_size
         self.cache_dtype = cache_dtype
+        # split prompt/generated KV cache (see _beam_scan); exposed so
+        # benches can A/B the unified-cache path
+        self.split_cache = split_cache
 
     def _beam_caches(self, batch: int, cache_len: int):
         # sized to prompt+max_new (not n_text_ctx): the per-step beam
@@ -60,30 +64,58 @@ class BeamDecoder(GreedyDecoder):
         B = xa.shape[0]
         BK = B * K
         V = model.dims.n_vocab
+        d = model.dims
 
-        # replicate the prompt across beams; the cross-attention memory is
-        # NOT replicated — all K beams of a row attend to the same window,
-        # so MHA._attend_precomputed folds the beam axis and reads the
-        # cross-KV once per batch row instead of once per beam (a K-fold
-        # cut of the dominant decode HBM stream)
-        prompt_k = jnp.repeat(prompt_tokens, K, axis=0)        # [BK, P]
-        pad_k = jnp.repeat(pad_lens, K, axis=0) if pad_lens is not None \
-            else None
-        budget = min(self.opt.max_new_tokens,
-                     model.dims.n_text_ctx - prompt_len) + prompt_len
-        caches = self._beam_caches(BK, -(-budget // 64) * 64)
+        # the prompt is IDENTICAL across a stream's K beams, so (a) the
+        # prefill runs at batch B (not BK) and (b) its cache becomes the
+        # SHARED prompt segment of a split prompt/generated cache: the
+        # per-step beam reorder gathers only the [BK, G] generated
+        # segment (G = 64-rounded max_new, vs prompt+new previously) and
+        # the fused attention kernel reads each stream's prompt keys once
+        # for all K beams — the full-width reorder gather was beam
+        # decode's dominant per-step cost. The cross-attention memory was
+        # already beam-folded the same way (_attend_precomputed).
+        # Models whose head geometry the fused kernel does not cover
+        # (dk not 64/128 — every whisper checkpoint has dk=64) keep the
+        # unified-cache einsum path.
+        use_split = (self.split_cache and d.n_text_state % 128 == 0
+                     and d.n_text_state // d.n_text_head in (64, 128))
+        max_new = min(self.opt.max_new_tokens,
+                      model.dims.n_text_ctx - prompt_len)
+        P = prompt_tokens.shape[1]
         cross_kvs = model.precompute_cross_kv(variables["decoder"], xa)
         if self.opt.cross_kv_quant:
             cross_kvs = model.quantize_cross_kv(cross_kvs)
-        logits, caches, _ = model.decoder.apply(
-            variables["decoder"], prompt_k, xa, 0, caches,
-            cross_kvs=cross_kvs, pad_lens=pad_k)
         sot_pos = prompt_len - 1 - (2 if len(tok.sot_sequence) == 3 else 0)
-        nsp = jax.nn.softmax(logits[::K, sot_pos], axis=-1)[:, tok.no_speech]
-        cur_logits = logits[:, -1]                              # [BK, V]
-
-        max_new = min(self.opt.max_new_tokens,
-                      model.dims.n_text_ctx - prompt_len)
+        pad_k = jnp.repeat(pad_lens, K, axis=0) if pad_lens is not None \
+            else None
+        if use_split:
+            G = -(-max_new // 64) * 64
+            prompt_caches = [
+                (jnp.zeros((B, P, d.n_text_state), self.cache_dtype),
+                 jnp.zeros((B, P, d.n_text_state), self.cache_dtype))
+                for _ in range(d.n_text_layer)]
+            logits, prompt_caches, _ = model.decoder.apply(
+                variables["decoder"], prompt_tokens, xa, 0, prompt_caches,
+                cross_kvs=cross_kvs, pad_lens=pad_lens)
+            nsp = jax.nn.softmax(logits[:, sot_pos],
+                                 axis=-1)[:, tok.no_speech]
+            cur_logits = jnp.repeat(logits[:, -1], K, axis=0)   # [BK, V]
+            caches = [
+                (jnp.zeros((BK, G, d.n_text_state), self.cache_dtype),
+                 jnp.zeros((BK, G, d.n_text_state), self.cache_dtype))
+                for _ in range(d.n_text_layer)]
+        else:
+            prompt_k = jnp.repeat(prompt_tokens, K, axis=0)     # [BK, P]
+            budget = max_new + prompt_len
+            caches = self._beam_caches(BK, -(-budget // 64) * 64)
+            logits, caches, _ = model.decoder.apply(
+                variables["decoder"], prompt_k, xa, 0, caches,
+                cross_kvs=cross_kvs, pad_lens=pad_k)
+            nsp = jax.nn.softmax(logits[::K, sot_pos],
+                                 axis=-1)[:, tok.no_speech]
+            cur_logits = logits[:, -1]                          # [BK, V]
+            prompt_caches = None
         init = dict(
             step=jnp.zeros((), jnp.int32),
             caches=caches,
@@ -123,6 +155,8 @@ class BeamDecoder(GreedyDecoder):
             def g(x):
                 return x[gather]
 
+            # only the generated segment reorders; the prompt caches are
+            # closed over (beam-invariant)
             new_caches = [(g(ck), g(cv)) for ck, cv in st["caches"]]
             tokens = g(st["tokens"]).at[:, step].set(next_tok_flat)
             finished = g(st["finished"])
@@ -141,11 +175,20 @@ class BeamDecoder(GreedyDecoder):
                 last_ts=jnp.where(is_ts, next_tok_flat, g(st["last_ts"])),
                 any_ts=g(st["any_ts"]) | is_ts,
             )
-            new_logits, new_caches, _ = model.decoder.apply(
-                variables["decoder"], next_tok_flat[:, None], xa,
-                prompt_len + step, new_caches, cross_kvs=cross_kvs,
-                pad_lens=pad_k)
-            new_state["caches"] = new_caches
+            if use_split:
+                split = [(kp, vp, kg, vg) for (kp, vp), (kg, vg)
+                         in zip(prompt_caches, new_caches)]
+                new_logits, out_caches, _ = model.decoder.apply(
+                    variables["decoder"], next_tok_flat[:, None], xa,
+                    P + step, split, cross_kvs=cross_kvs, pad_lens=pad_k)
+                new_state["caches"] = [(kg, vg)
+                                       for _, _, kg, vg in out_caches]
+            else:
+                new_logits, out_caches, _ = model.decoder.apply(
+                    variables["decoder"], next_tok_flat[:, None], xa,
+                    prompt_len + step, new_caches, cross_kvs=cross_kvs,
+                    pad_lens=pad_k)
+                new_state["caches"] = out_caches
             new_state["cur_logits"] = new_logits[:, 0]
             return new_state
 

@@ -143,6 +143,38 @@ class MHA(nn.Module):
                    "value")(src)
 
         new_cache = None
+        if kv_cache is not None and len(kv_cache) == 4:
+            # split prompt/generated cache (beam search): the prompt
+            # segment [Bs, Pp, D] is shared by each stream's beams (read
+            # once per stream by the kernel, never reordered); only the
+            # [B, G, D] generated segment is per-beam. See
+            # ops/pallas_kernels.py::attn_step_split for the measured
+            # motivation (the full-width per-step beam reorder gather
+            # dominated beam decode).
+            assert x.shape[1] == 1 and d_k in (64, 128) \
+                and self.n_state % 128 == 0, \
+                "split caches serve single-token beam decode only"
+            from notsofar_tpu.ops.pallas_kernels import attn_step_split
+            kp, vp, kg, vg = kv_cache
+            Bs = kp.shape[0]
+            B = q.shape[0]
+            beams = B // Bs
+            gslot = cache_index - kp.shape[1]
+            kg = jax.lax.dynamic_update_slice_in_dim(
+                kg, k.astype(kg.dtype), gslot, axis=1)
+            vg = jax.lax.dynamic_update_slice_in_dim(
+                vg, v.astype(vg.dtype), gslot, axis=1)
+            new_cache = (kp, vp, kg, vg)
+            pads = (jnp.zeros(Bs, jnp.int32) if pad_lens is None
+                    else pad_lens.reshape(Bs, beams)[:, 0])
+            interpret = jax.default_backend() == "cpu"
+            q_eff = (q * (d_k ** -0.5)).astype(kp.dtype)
+            out = attn_step_split(q_eff, kp, vp, kg, vg, gslot, pads,
+                                  d_k, beams, interpret=interpret)
+            out = out.reshape(B, 1, self.n_state)
+            out = _dense(self.quant, self.n_state, True, self.dtype,
+                         "out")(out.astype(self.dtype))
+            return out, None, new_cache
         if kv_cache is not None:
             ck, cv = kv_cache
             ck = jax.lax.dynamic_update_slice_in_dim(
@@ -248,25 +280,40 @@ class MHA(nn.Module):
             # dequantizes in registers. XLA consuming the int8 tensors
             # materialized f32 copies of the whole memory EVERY STEP
             # (measured 3x slower than bf16; tools/bench_decode_real.py),
-            # which is why this path does not go through einsum at all.
+            # which is why the T=1 per-step path never goes through
+            # einsum.
             assert mask is None, "quantized cross-attention is unmasked"
-            from notsofar_tpu.ops.pallas_kernels import xattn_int8
             kq8, k_s, vq8, v_s, s_valid = precomputed_kv
-            q_eff = ((q.astype(jnp.float32) * scale)
-                     * (k_s * scale)).astype(self.dtype)     # [Bm, Tq, D]
-            interpret = jax.default_backend() == "cpu"
-            out = xattn_int8(q_eff, kq8, vq8, v_s[:, 0], d_k, s_valid,
-                             interpret=interpret)            # [Bm, Tq, D]
-            if fold:
-                out = out.reshape(B, T, self.n_state)
-            # decode paths never consume cross-attention weights (the
-            # alignment pass runs unquantized); the kernel does not
-            # materialize them
-            return out.astype(self.dtype), None
+            if Tq > 8:
+                # prefill: one-time dequantized einsum. The fused kernel
+                # serves the per-step hot path; at prefill XLA's
+                # scoped-vmem placement of the kernel's [Bm, Tq, D] f32
+                # output can exceed the 16 MB stack limit (measured:
+                # beam prefill at Bm=8, Tq=224 -> compile OOM), and one
+                # dequantized read per window costs ~nothing.
+                k = (kq8.astype(jnp.float32) * k_s).astype(self.dtype)
+                v = (vq8.astype(jnp.float32) * v_s).astype(self.dtype)
+                mask = jnp.where(jnp.arange(S) >= s_valid,
+                                 jnp.float32(-1e30), jnp.float32(0.0)
+                                 )[None, None, None, :]
+            else:
+                from notsofar_tpu.ops.pallas_kernels import xattn_int8
+                q_eff = ((q.astype(jnp.float32) * scale)
+                         * (k_s * scale)).astype(self.dtype)  # [Bm, Tq, D]
+                interpret = jax.default_backend() == "cpu"
+                out = xattn_int8(q_eff, kq8, vq8, v_s[:, 0], d_k, s_valid,
+                                 interpret=interpret)         # [Bm, Tq, D]
+                if fold:
+                    out = out.reshape(B, T, self.n_state)
+                # decode paths never consume cross-attention weights (the
+                # alignment pass runs unquantized); the kernel does not
+                # materialize them
+                return out.astype(self.dtype), None
+        else:
+            v = precomputed_kv[1]
         qh = q.reshape(Bm, Tq, H, d_k).transpose(0, 2, 1, 3)
         kh = k.reshape(Bm, S, H, d_k).transpose(0, 2, 1, 3)
-        vh = precomputed_kv[1].reshape(Bm, S, H, d_k
-                                       ).transpose(0, 2, 1, 3)
+        vh = v.reshape(Bm, S, H, d_k).transpose(0, 2, 1, 3)
         logits = jnp.einsum("bhtd,bhsd->bhts", qh * scale, kh * scale,
                             preferred_element_type=jnp.float32)
         if mask is not None:
@@ -405,6 +452,10 @@ class TextDecoder(nn.Module):
                           < pad_lens[:, None])[:, None, None, :]
                 eye = jnp.eye(T, dtype=bool)[None, None]
                 mask = jnp.where(keypad & ~eye, -jnp.inf, mask[None, None])
+        elif len(kv_caches[0]) == 4:
+            # split prompt/generated caches (beam decode): the fused
+            # kernel applies the visibility rules itself
+            mask = None
         else:
             # suffix decode: attend to cache positions <= current
             ctx = kv_caches[0][0].shape[1]

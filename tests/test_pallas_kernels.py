@@ -220,3 +220,76 @@ def test_attn_step_single_group_dk128():
     want = np.einsum("bhts,bhsd->bhtd", w, vh).transpose(0, 2, 1, 3) \
         .reshape(B, 1, D)
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_attn_step_split_matches_reference():
+    """Split-cache beam attention == einsum over the concatenated
+    (prompt | own generated) keys with the pad/step masks."""
+    from notsofar_tpu.ops.pallas_kernels import attn_step_split
+    rng = np.random.RandomState(7)
+    B, K, Pp, G, H, dk = 2, 3, 16, 32, 4, 64
+    D = H * dk
+    BK = B * K
+    gslot = 9
+    pads = np.asarray([0, 5], np.int32)
+    q = rng.randn(BK, 1, D).astype(np.float32) * 0.3
+    kp = rng.randn(B, Pp, D).astype(np.float32) * 0.3
+    vp = rng.randn(B, Pp, D).astype(np.float32) * 0.3
+    kg = rng.randn(BK, G, D).astype(np.float32) * 0.3
+    vg = rng.randn(BK, G, D).astype(np.float32) * 0.3
+    kg[:, gslot + 1:] = 0.0
+    vg[:, gslot + 1:] = 0.0
+    scale = dk ** -0.5
+
+    got = np.asarray(attn_step_split(
+        jnp.asarray(q * scale), jnp.asarray(kp), jnp.asarray(vp),
+        jnp.asarray(kg), jnp.asarray(vg), jnp.asarray(gslot, jnp.int32),
+        jnp.asarray(pads), dk, K, interpret=True))
+
+    for b in range(B):
+        for j in range(K):
+            r = b * K + j
+            keys = np.concatenate([kp[b], kg[r]], axis=0)  # [Pp+G, D]
+            vals = np.concatenate([vp[b], vg[r]], axis=0)
+            qh = q[r, 0].reshape(H, dk)
+            kh = keys.reshape(-1, H, dk)
+            lg = np.einsum("hd,shd->hs", qh * scale, kh)
+            cols = np.arange(Pp + G)
+            vis = np.where(cols < Pp, cols >= pads[b],
+                           (cols - Pp) <= gslot)
+            lg[:, ~vis] = -1e30
+            w = np.exp(lg - lg.max(-1, keepdims=True))
+            w = w / w.sum(-1, keepdims=True)
+            want = np.einsum("hs,shd->hd", w,
+                             vals.reshape(-1, H, dk)).reshape(D)
+            np.testing.assert_allclose(got[r, 0], want, rtol=2e-4,
+                                       atol=2e-4, err_msg=f"b{b} j{j}")
+
+
+def test_attn_step_split_single_beam_matches_attn_step():
+    """K=1 split attention == the contiguous-cache attn_step on the
+    concatenated cache."""
+    from notsofar_tpu.ops.pallas_kernels import attn_step, attn_step_split
+    rng = np.random.RandomState(8)
+    B, Pp, G, H, dk = 2, 8, 16, 2, 64
+    D = H * dk
+    gslot = 4
+    q = rng.randn(B, 1, D).astype(np.float32) * 0.3
+    kp = rng.randn(B, Pp, D).astype(np.float32) * 0.3
+    vp = rng.randn(B, Pp, D).astype(np.float32) * 0.3
+    kg = rng.randn(B, G, D).astype(np.float32) * 0.3
+    vg = rng.randn(B, G, D).astype(np.float32) * 0.3
+    kg[:, gslot + 1:] = 0.0
+    vg[:, gslot + 1:] = 0.0
+    pads = np.zeros(B, np.int32)
+    got = np.asarray(attn_step_split(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(kg),
+        jnp.asarray(vg), jnp.asarray(gslot, jnp.int32), jnp.asarray(pads),
+        dk, 1, interpret=True))
+    kc = np.concatenate([kp, kg], axis=1)
+    vc = np.concatenate([vp, vg], axis=1)
+    want = np.asarray(attn_step(
+        jnp.asarray(q), jnp.asarray(kc), jnp.asarray(vc),
+        jnp.asarray(Pp + gslot, jnp.int32), jnp.asarray(pads), dk,
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
