@@ -257,6 +257,18 @@ def main():
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
+    # diarization word load: ~2.4 words per SESSION-second, matching
+    # natural-meeting speech density (~140 wpm; a 6 min NOTSOFAR meeting
+    # carries ~900 GT words). The words distribute across the 3 CSS
+    # streams round-robin — separation ROUTES each spoken word to one
+    # stream, it does not triple it, so diarization's embed/cluster load
+    # scales with the session's spoken words (plus a small cross-stream
+    # duplicate rate that dedup removes). Earlier rounds synthesized
+    # 2.4 w/s on EVERY stream (7.2/s per session), overstating the
+    # diar stage 3x vs the dev-set shape the headline claims. The ASR
+    # decode load is NOT reduced correspondingly (fixed 80 steps per
+    # window on all 3 streams = full-speech-density streams) — that side
+    # stays conservative.
     words_per_sec = 2.4
 
     # ---- pipelined ingest ------------------------------------------------
@@ -342,22 +354,27 @@ def main():
         writer.start()
         sessions = []
         for si in range(B):
-            wav_files = []
+            wav_files = [os.path.join(tmp, f"s{si}_c{ci}.wav")
+                         for ci in range(3)]
             rows = []
+            n_words = int(secs * words_per_sec)     # per session, total
+            step = secs / n_words
+            word_times = np.arange(0.0, secs, step)[:n_words]
             for ci in range(3):
-                path = os.path.join(tmp, f"s{si}_c{ci}.wav")
-                wav_files.append(path)
-                n_words = int(secs * words_per_sec)
-                step = secs / n_words
+                # stream ci carries every 3rd word (round-robin routing)
+                wt_stream = word_times[ci::3]
                 for seg_start in np.arange(0.0, secs, 15.0):
                     seg_end = min(seg_start + 15.0, secs)
                     wt = [[" a", round(t, 2), round(min(t + 0.3, secs), 2)]
-                          for t in np.arange(seg_start, seg_end, step)]
+                          for t in wt_stream
+                          if seg_start <= t < seg_end]
+                    if not wt:
+                        continue
                     rows.append(dict(
                         start_time=seg_start, end_time=seg_end,
                         text=" a" * len(wt), word_timing=wt,
                         meeting_id="MTG_B", session_id=f"mc/MTG_B_{si}",
-                        wav_file_name=path))
+                        wav_file_name=wav_files[ci]))
             df = pd.DataFrame(rows)
             df["wav_file_name"] = df["wav_file_name"].astype("category")
             df["wav_file_name_ind"] = df["wav_file_name"].cat.codes
@@ -537,7 +554,7 @@ def main():
                  * FL.whisper_decode_step_bytes(
                      dims, dtype_bytes=1 if quant else 2))
     asr = FL.StageCost("asr", asr_flops, st.get("asr", 0.0), asr_bytes)
-    n_words_total = B * 3 * int(secs * words_per_sec)
+    n_words_total = B * int(secs * words_per_sec)
     scale_frames = [(-(-int((int(np.ceil(s * fs / 8192)) * 8192)
                             / 160 + 1) // 16)) * 16
                     for s in diar_cfg.min_embedding_windows]
