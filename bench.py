@@ -134,7 +134,7 @@ if __name__ == "__main__":
         import bench_pipeline
         argv = sys.argv[1:]
         for flag, dflt in (("--sessions", "8"), ("--seconds", "360"),
-                           ("--repeats", "3")):
+                           ("--repeats", "4")):
             if flag not in argv:
                 argv += [flag, dflt]
         sys.argv = [sys.argv[0]] + argv

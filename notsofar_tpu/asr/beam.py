@@ -119,6 +119,11 @@ class BeamDecoder(GreedyDecoder):
         init = dict(
             step=jnp.zeros((), jnp.int32),
             caches=caches,
+            # ancestry [B, K, G]: anc[b, j, s] = physical cache row whose
+            # slot-s K/V belongs to logical beam j. Beam reordering
+            # updates THIS (23 KB) instead of gathering the caches
+            # (2x layers x [BK, G, D]) -- see attn_step_split.
+            anc=(jnp.zeros((B, K, G), jnp.int32) if use_split else None),
             cur_logits=cur_logits,
             tokens=jnp.full((BK, max_new), self._eot, jnp.int32),
             sum_lp=jnp.tile(jnp.where(jnp.arange(K) == 0, 0.0, NEG_INF), B),
@@ -155,9 +160,19 @@ class BeamDecoder(GreedyDecoder):
             def g(x):
                 return x[gather]
 
-            # only the generated segment reorders; the prompt caches are
-            # closed over (beam-invariant)
-            new_caches = [(g(ck), g(cv)) for ck, cv in st["caches"]]
+            if use_split:
+                # NO cache gather: reordering is an ancestry update (the
+                # kernel reads history through the anc-derived mask). The
+                # new token's K/V will be written at the logical row
+                # itself, so slot `step` ancestors to own row.
+                new_caches = st["caches"]
+                anc = jnp.take_along_axis(st["anc"], src_beam[..., None],
+                                          axis=1)
+                anc = anc.at[:, :, step].set(
+                    jnp.broadcast_to(jnp.arange(K)[None, :], (B, K)))
+            else:
+                new_caches = [(g(ck), g(cv)) for ck, cv in st["caches"]]
+                anc = None
             tokens = g(st["tokens"]).at[:, step].set(next_tok_flat)
             finished = g(st["finished"])
             is_eot = (next_tok_flat == self._eot) | finished
@@ -167,6 +182,7 @@ class BeamDecoder(GreedyDecoder):
             new_state = dict(
                 step=step + 1,
                 tokens=tokens,
+                anc=anc,
                 sum_lp=top_lp.reshape(BK),
                 length=length,
                 finished=new_finished,
@@ -176,13 +192,13 @@ class BeamDecoder(GreedyDecoder):
                 any_ts=g(st["any_ts"]) | is_ts,
             )
             if use_split:
-                split = [(kp, vp, kg, vg) for (kp, vp), (kg, vg)
+                split = [(kp, vp, kg, vg, anc) for (kp, vp), (kg, vg)
                          in zip(prompt_caches, new_caches)]
                 new_logits, out_caches, _ = model.decoder.apply(
                     variables["decoder"], next_tok_flat[:, None], xa,
                     P + step, split, cross_kvs=cross_kvs, pad_lens=pad_k)
                 new_state["caches"] = [(kg, vg)
-                                       for _, _, kg, vg in out_caches]
+                                       for _, _, kg, vg, _ in out_caches]
             else:
                 new_logits, out_caches, _ = model.decoder.apply(
                     variables["decoder"], next_tok_flat[:, None], xa,

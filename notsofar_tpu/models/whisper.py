@@ -143,19 +143,24 @@ class MHA(nn.Module):
                    "value")(src)
 
         new_cache = None
-        if kv_cache is not None and len(kv_cache) == 4:
+        if kv_cache is not None and len(kv_cache) in (4, 5):
             # split prompt/generated cache (beam search): the prompt
             # segment [Bs, Pp, D] is shared by each stream's beams (read
             # once per stream by the kernel, never reordered); only the
-            # [B, G, D] generated segment is per-beam. See
-            # ops/pallas_kernels.py::attn_step_split for the measured
-            # motivation (the full-width per-step beam reorder gather
-            # dominated beam decode).
+            # [B, G, D] generated segment is per-beam, and with the
+            # optional 5th element (the [Bs, K, G] int32 ancestry) the
+            # generated segment is never reordered EITHER -- beam
+            # reordering becomes a visibility-bias change inside
+            # attn_step_split, leaving the caches as in-place loop
+            # carries. See ops/pallas_kernels.py::attn_step_split for
+            # the measured motivation (the full-width per-step beam
+            # reorder gather dominated beam decode).
             assert x.shape[1] == 1 and d_k in (64, 128) \
                 and self.n_state % 128 == 0, \
                 "split caches serve single-token beam decode only"
             from notsofar_tpu.ops.pallas_kernels import attn_step_split
-            kp, vp, kg, vg = kv_cache
+            kp, vp, kg, vg = kv_cache[:4]
+            anc = kv_cache[4] if len(kv_cache) == 5 else None
             Bs = kp.shape[0]
             B = q.shape[0]
             beams = B // Bs
@@ -164,13 +169,15 @@ class MHA(nn.Module):
                 kg, k.astype(kg.dtype), gslot, axis=1)
             vg = jax.lax.dynamic_update_slice_in_dim(
                 vg, v.astype(vg.dtype), gslot, axis=1)
-            new_cache = (kp, vp, kg, vg)
+            new_cache = (kp, vp, kg, vg) if anc is None else \
+                (kp, vp, kg, vg, anc)
             pads = (jnp.zeros(Bs, jnp.int32) if pad_lens is None
                     else pad_lens.reshape(Bs, beams)[:, 0])
             interpret = jax.default_backend() == "cpu"
             q_eff = (q * (d_k ** -0.5)).astype(kp.dtype)
             out = attn_step_split(q_eff, kp, vp, kg, vg, gslot, pads,
-                                  d_k, beams, interpret=interpret)
+                                  d_k, beams, anc=anc,
+                                  interpret=interpret)
             out = out.reshape(B, 1, self.n_state)
             out = _dense(self.quant, self.n_state, True, self.dtype,
                          "out")(out.astype(self.dtype))
@@ -452,7 +459,7 @@ class TextDecoder(nn.Module):
                           < pad_lens[:, None])[:, None, None, :]
                 eye = jnp.eye(T, dtype=bool)[None, None]
                 mask = jnp.where(keypad & ~eye, -jnp.inf, mask[None, None])
-        elif len(kv_caches[0]) == 4:
+        elif len(kv_caches[0]) in (4, 5):
             # split prompt/generated caches (beam decode): the fused
             # kernel applies the visibility rules itself
             mask = None

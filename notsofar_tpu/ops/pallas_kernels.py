@@ -268,41 +268,52 @@ def attn_step(q_eff: jnp.ndarray, k_cache: jnp.ndarray,
 
 
 def _attn_step_split_kernel(q_ref, kp_ref, vp_ref, kg_ref, vg_ref,
-                            bias_ref, o_ref):
+                            bias_ref, o_ref, *, dk: int):
     """One STREAM's beam-search decode-step attention against a split
     cache: a prompt segment shared by the stream's K beams (read ONCE per
     stream -- beams fold like the cross-attention memory) plus a per-beam
     generated segment.
 
-    Blocks: q [1, H*K, D] block-diagonally packed by the wrapper (row
-    h*K+j = beam j's query with only head h's dk lanes non-zero, full
-    d_k**-0.5 folded); kp/vp [1, Pp, D] the stream's prompt cache;
-    kg/vg [1, K*G, D] the stream's per-beam generated caches laid out
-    beam-major (current token already written at gslot); bias [1, K,
-    Pp+K*G] f32 additive visibility mask (0 visible / -1e30 not), built
-    by the wrapper from (pad, gslot, beam): the kernel itself contains
-    NO iota/mask construction. Out [1, H*K, D] f32, row h*K+j carrying
-    beam j / head h's output in head h's lane block (the wrapper takes
-    the block diagonal).
+    Blocks: q [1, K, D] the stream's beam queries (full d_k**-0.5
+    folded); kp/vp [1, Pp, D] the stream's prompt cache; kg/vg
+    [1, K*G, D] the stream's per-beam generated caches laid out
+    beam-major (current token already written at gslot); bias
+    [1, K, Pp+K*G] f32 additive visibility mask (0 visible / -1e30 not),
+    built by the wrapper from (pad, gslot, beam) -- the kernel contains
+    no iota/mask ARITHMETIC beyond the lane->head map. Out [1, K, D] f32.
 
-    The whole step is exactly TWO full-width MXU dots: block-diagonal q
-    rows make q'[(h,j),:] . key[s,:] contract only head h's lanes, so
-    [H*K, D] x [Pp+K*G, D]^T -> logits and [H*K, ncol] x [ncol, D] ->
-    values need no per-head slicing at all. The H-fold FLOP padding is
-    irrelevant at decode sizes (~5 GFLOP/layer at B=8 K=5 D=1280); the
-    previous per-head-group formulation spent ~150 small VPU
-    relayout/select ops per cell and measured 3.1 ms/call -- op issue
-    overhead, the very disease this kernel family exists to cure."""
+    Heads fold into ONE pair of full-width MXU dots via block-diagonal q
+    packing: row h*K+j holds beam j's query with only head h's dk lanes
+    non-zero, so q'[(h,j),:] . key[s,:] contracts exactly head h's
+    channels ([H*K, D] x [ncol, D]^T logits, [H*K, ncol] x [ncol, D]
+    values). The H-fold MXU padding is irrelevant at decode sizes
+    (~5 GFLOP/layer at B=8 K=5 D=1280 vs a ~40 us bytes roofline). The
+    pack and the output's diagonal collapse happen IN VMEM (H masked
+    selects each) -- a wrapper-side XLA pack/unpack materialized
+    [B, H*K, D] bf16+f32 tensors through HBM every layer-step, ~450 MB
+    at the parity-recipe shape.
+
+    The lane->head iota is built [1, D] and row-concatenated: Mosaic can
+    lower neither a (K, D) dim-1 broadcasted_iota (sublane broadcast of a
+    partial vreg) nor boolean/sub-8-row concats, while int/f32 [1, n] and
+    [K, n] row concats lower fine."""
     kp = kp_ref[0]                                 # [Pp, D]
     keys = jnp.concatenate([kp, kg_ref[0]], axis=0)    # [ncol, D]
     vals = jnp.concatenate([vp_ref[0], vg_ref[0]], axis=0)
-    qp = q_ref[0]                                  # [HK, D]
-    HK = qp.shape[0]
-    K = bias_ref.shape[1]
-    H = HK // K
+    q2 = q_ref[0]                                  # [K, D]
+    K, D = q2.shape
+    H = D // dk
+    bias = bias_ref[0]                             # [K, ncol]
+
+    lane_head1 = jax.lax.broadcasted_iota(jnp.int32, (1, D), 1) // dk
+    lane_head_k = lane_head1 if K == 1 else \
+        jnp.concatenate([lane_head1] * K, axis=0)  # [K, D]
+    zero = jnp.zeros((), q2.dtype)
+    pieces = [jnp.where(lane_head_k == h, q2, zero) for h in range(H)]
+    qp = pieces[0] if H == 1 else jnp.concatenate(pieces, axis=0)
+
     lg = jax.lax.dot_general(qp, keys, (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
-    bias = bias_ref[0]                             # [K, ncol]
     # rows stack head-major (row = h*K + j), so tiling the per-beam bias
     # H times row-wise aligns beam j with every head's row j
     full_bias = bias if H == 1 else jnp.concatenate([bias] * H, axis=0)
@@ -310,8 +321,13 @@ def _attn_step_split_kernel(q_ref, kp_ref, vp_ref, kg_ref, vg_ref,
     m = jnp.max(lg, axis=-1, keepdims=True)
     p = jnp.exp(lg - m)
     p = (p / jnp.sum(p, axis=-1, keepdims=True)).astype(vals.dtype)
-    o_ref[0] = jax.lax.dot_general(p, vals, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+    ov = jax.lax.dot_general(p, vals, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [HK, D]
+    # block-diagonal collapse: beam j's head-h lanes come from row h*K+j
+    og = ov[0:K]
+    for h in range(1, H):
+        og = jnp.where(lane_head_k == h, ov[h * K:(h + 1) * K], og)
+    o_ref[0] = og
 
 
 @functools.partial(jax.jit, static_argnames=("dk", "beams", "interpret"))
@@ -319,6 +335,7 @@ def attn_step_split(q_eff: jnp.ndarray, k_prompt: jnp.ndarray,
                     v_prompt: jnp.ndarray, k_gen: jnp.ndarray,
                     v_gen: jnp.ndarray, gslot: jnp.ndarray,
                     pad_lens: jnp.ndarray, dk: int, beams: int,
+                    anc: jnp.ndarray = None,
                     interpret: bool = False) -> jnp.ndarray:
     """Beam-search decode-step self-attention over a split KV cache.
 
@@ -327,53 +344,59 @@ def attn_step_split(q_eff: jnp.ndarray, k_prompt: jnp.ndarray,
     per-stream prompt cache (identical across a stream's beams -- written
     once at prefill, NEVER reordered); k_gen/v_gen: [B*K, G, D] per-beam
     generated caches with the current token already written at gslot;
-    gslot: [] int32; pad_lens: [B] per-stream masked left-pad widths.
-    Returns [B*K, 1, D] f32.
+    gslot: [] int32; pad_lens: [B] per-stream masked left-pad widths;
+    anc: optional [B, K, G] int32 ancestry -- anc[b, j, s] is the
+    PHYSICAL row (0..K-1) whose slot-s K/V belongs to logical beam j's
+    history. Returns [B*K, 1, D] f32.
 
     Motivation (measured): beam search's per-step cost was dominated by
-    the full-width cache reorder gather + per-beam cache reads. Splitting
-    prompt/generated segments (a) shrinks the reorder to the [BK, G]
-    generated part (G = 64-rounded max_new vs prompt+gen width), and
-    (b) reads each stream's prompt keys ONCE for all K beams, like the
-    folded cross-attention memory.
+    the full-width per-step cache reorder gather. Splitting the
+    prompt/generated segments removed the prompt from the gather and let
+    each stream's prompt keys be read ONCE for all K beams (19.1 ->
+    12.8 ms/step at 9 streams x 5 beams); the ancestry mask then removes
+    the remaining [BK, G, D] x2 x layers gather ENTIRELY: the kernel
+    already loads every beam's generated cache per stream, so beam
+    reordering is just a different visibility bias -- values never move,
+    the caches stay in-place loop carries (in-place DUS), and the only
+    per-step reorder is the [B, K, G] int32 ancestry matrix itself.
 
     Visibility: prompt col c iff c >= pad[stream]; generated col (j', s)
-    iff j' == row's beam and s <= gslot. The mask is built HERE as an
-    additive f32 bias (XLA, fused, trivial bytes) and the q rows are
-    packed block-diagonally HERE; the kernel is just two MXU dots (see
-    _attn_step_split_kernel)."""
+    iff s <= gslot and j' == (anc[b, j, s] if anc is given else j). The
+    mask is built HERE as an additive f32 bias (XLA, fused, trivial
+    bytes -- [B, K, ncol] per step, reused by all layers)."""
     BK, T, D = q_eff.shape
     assert T == 1 and BK % beams == 0
     K = beams
     B = BK // K
-    H = D // dk
     Pp = k_prompt.shape[1]
     G = k_gen.shape[1]
     ncol = Pp + K * G
 
-    col = jnp.arange(ncol)
-    gcol = col - Pp
-    isp = col < Pp
+    colp = jnp.arange(Pp)
     beam_ids = jnp.arange(K)
-    vis_p = isp[None, None, :] & (col[None, None, :]
-                                  >= pad_lens[:, None, None])
-    vis_g = ((~isp)[None, None, :]
-             & (gcol[None, None, :] // G == beam_ids[None, :, None])
-             & (gcol[None, None, :] % G <= gslot))
-    bias = jnp.where(vis_p | vis_g, jnp.float32(0), jnp.float32(-1e30))
+    s_ok = jnp.arange(G) <= gslot
+    vis_p = jnp.broadcast_to(
+        (colp[None, :] >= pad_lens[:, None])[:, None, :], (B, K, Pp))
+    if anc is None:
+        eq = jnp.broadcast_to(
+            (beam_ids[:, None] == beam_ids[None, :])[None, :, :, None],
+            (B, K, K, G))
+    else:
+        eq = anc[:, :, None, :] == beam_ids[None, None, :, None]
+    vis_g = (eq & s_ok[None, None, None, :]).reshape(B, K, K * G)
+    bias = jnp.where(jnp.concatenate([vis_p, vis_g], axis=-1),
+                     jnp.float32(0), jnp.float32(-1e30))
 
-    # block-diagonal q pack: qp[b, h*K+j, h*dk:(h+1)*dk] = q[b*K+j, h]
-    q4 = q_eff.reshape(B, K, H, dk)
-    eye = jnp.eye(H, dtype=q_eff.dtype)
-    qp = jnp.einsum("bkhd,hg->bhkgd", q4, eye).reshape(B, H * K, D)
+    q3 = q_eff.reshape(B, K, D)
     kg_r = k_gen.reshape(B, K * G, D)
     vg_r = v_gen.reshape(B, K * G, D)
 
-    raw = pl.pallas_call(
-        _attn_step_split_kernel,
+    kern = functools.partial(_attn_step_split_kernel, dk=dk)
+    out = pl.pallas_call(
+        kern,
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, H * K, D), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, K, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Pp, D), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -386,17 +409,12 @@ def attn_step_split(q_eff: jnp.ndarray, k_prompt: jnp.ndarray,
             pl.BlockSpec((1, K, ncol), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H * K, D), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, K, D), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H * K, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, K, D), jnp.float32),
         interpret=interpret,
-    )(qp, k_prompt, v_prompt, kg_r, vg_r, bias)
-
-    # block diagonal: out[b*K+j, 0, h*dk:] = raw[b, h*K+j, h*dk:]
-    raw5 = raw.reshape(B, H, K, H, dk)
-    hidx = jnp.arange(H)
-    diag = raw5[:, hidx, :, hidx]                  # [H, B, K, dk]
-    return diag.transpose(1, 2, 0, 3).reshape(BK, 1, D)
+    )(q3, k_prompt, v_prompt, kg_r, vg_r, bias)
+    return out.reshape(BK, 1, D)
 
 
 def _dwconv1d_kernel(x_ref, w_ref, o_ref, *, k: int):

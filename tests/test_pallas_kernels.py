@@ -293,3 +293,47 @@ def test_attn_step_split_single_beam_matches_attn_step():
         jnp.asarray(Pp + gslot, jnp.int32), jnp.asarray(pads), dk,
         interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_attn_step_split_ancestry_matches_physical_reorder():
+    """anc-masked attention over UNREORDERED caches == beam-identity
+    attention over caches physically gathered along the ancestry (the
+    reorder-free beam scheme's correctness contract)."""
+    from notsofar_tpu.ops.pallas_kernels import attn_step_split
+    rng = np.random.RandomState(11)
+    B, K, Pp, G, H, dk = 2, 3, 8, 16, 2, 64
+    D = H * dk
+    BK = B * K
+    gslot = 5
+    pads = np.zeros(B, np.int32)
+    q = rng.randn(BK, 1, D).astype(np.float32) * 0.3
+    kp = rng.randn(B, Pp, D).astype(np.float32) * 0.3
+    vp = rng.randn(B, Pp, D).astype(np.float32) * 0.3
+    kg = rng.randn(BK, G, D).astype(np.float32) * 0.3
+    vg = rng.randn(BK, G, D).astype(np.float32) * 0.3
+    kg[:, gslot + 1:] = 0.0
+    vg[:, gslot + 1:] = 0.0
+    # random but self-consistent ancestry: slot gslot is own row (the
+    # step's token is written in place), earlier slots arbitrary
+    anc = rng.randint(0, K, (B, K, G)).astype(np.int32)
+    anc[:, :, gslot] = np.arange(K)[None, :]
+
+    got = np.asarray(attn_step_split(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp), jnp.asarray(kg),
+        jnp.asarray(vg), jnp.asarray(gslot, jnp.int32), jnp.asarray(pads),
+        dk, K, anc=jnp.asarray(anc), interpret=True))
+
+    # physical equivalent: gather each logical beam's history per slot
+    kg_phys = np.zeros_like(kg)
+    vg_phys = np.zeros_like(vg)
+    for b in range(B):
+        for j in range(K):
+            for s in range(gslot + 1):
+                kg_phys[b * K + j, s] = kg[b * K + anc[b, j, s], s]
+                vg_phys[b * K + j, s] = vg[b * K + anc[b, j, s], s]
+    want = np.asarray(attn_step_split(
+        jnp.asarray(q), jnp.asarray(kp), jnp.asarray(vp),
+        jnp.asarray(kg_phys), jnp.asarray(vg_phys),
+        jnp.asarray(gslot, jnp.int32), jnp.asarray(pads), dk, K,
+        interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -29,6 +29,10 @@ def main():
                     help="prompt tokens incl. sot sequence")
     ap.add_argument("--configs", default="int8")
     ap.add_argument("--paths", default="split,unified")
+    ap.add_argument("--ablate", action="store_true",
+                    help="also time the split path without timestamp "
+                    "rules (their per-step share) and at K=1 (the "
+                    "beam-expansion machinery's share)")
     args = ap.parse_args()
     from notsofar_tpu.utils.jax_setup import setup_jax
     setup_jax()
@@ -62,12 +66,14 @@ def main():
         [body, np.tile(np.asarray(tok.sot_sequence, np.int32),
                        (args.batch, 1))], axis=1))
 
-    def run_one(tag, quant, variables, split):
+    def run_one(tag, quant, variables, split, without_ts=False, beam=None):
+        beam = beam or args.beam
         model = WhisperModel(dims, dtype=jnp.bfloat16, quant_decoder=quant)
         dec = BeamDecoder(model, tok, DecodeOptions(
             max_new_tokens=args.steps, cross_kv_quant=quant,
-            max_rows_per_dispatch=args.batch * args.beam),
-            beam_size=args.beam, split_cache=split)
+            without_timestamps=without_ts,
+            max_rows_per_dispatch=args.batch * beam),
+            beam_size=beam, split_cache=split)
         dec._eot = dims.n_vocab + 1    # fixed-step: never latch EOT
         t0 = time.time()
         t, s = dec._beam_scan(variables, xa, prompt.shape[1], prompt)
@@ -90,8 +96,20 @@ def main():
         variables = quantize_whisper_decoder(vars_bf16) if quant \
             else vars_bf16
         for path in args.paths.split(","):
-            run_one(f"{cfgname}/{path}", quant, variables,
-                    path == "split")
+            if path == "no_ts":
+                run_one(f"{cfgname}/split/no_ts", quant, variables, True,
+                        without_ts=True)
+            elif path == "K1":
+                run_one(f"{cfgname}/split/K1", quant, variables, True,
+                        beam=1)
+            else:
+                run_one(f"{cfgname}/{path}", quant, variables,
+                        path == "split")
+        if args.ablate:
+            run_one(f"{cfgname}/split/no_ts", quant, variables, True,
+                    without_ts=True)
+            run_one(f"{cfgname}/split/K1", quant, variables, True,
+                    beam=1)
 
 
 if __name__ == "__main__":
