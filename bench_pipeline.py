@@ -525,11 +525,17 @@ def main():
             diar_med = float(np.median([s["diar"] for s in run_stats]))
             par_serial = total_audio / (st_p["css"] + st_p["asr"]
                                         + diar_med)
+            # device-bound flavor, same basis as serial_device_est: the
+            # parity batch's own asr with the pipelined runs' per-stage
+            # minima for the decode-mode-independent css/diar stages
+            par_dev = total_audio / (min_stage["css"] + st_p["asr"]
+                                     + min_stage["diar"])
             parity = {"asr_mode": "beam5_conditioned",
                       "css_s": round(st_p["css"], 2),
                       "asr_s": round(st_p["asr"], 2),
                       "diar_s_median": round(diar_med, 2),
-                      "rtfx_serial": round(par_serial, 2)}
+                      "rtfx_serial": round(par_serial, 2),
+                      "rtfx_serial_device_est": round(par_dev, 2)}
             print(f"parity tail: css {st_p['css']:.2f}s asr "
                   f"{st_p['asr']:.2f}s (+diar median {diar_med:.2f}s) -> "
                   f"{par_serial:.1f}x RT serial", file=sys.stderr)
