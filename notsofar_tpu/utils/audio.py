@@ -95,3 +95,67 @@ def load_session_audio(wav_file_names: List, is_mc: bool, num_mics: int = 7
         assert mix.ndim == 1
         mix = mix[np.newaxis, :, np.newaxis]
     return mix.astype(np.float32), sr
+
+
+def parse_scp(scp_path, value_processor=lambda x: x, num_tokens: int = 2,
+              restrict: bool = True) -> dict:
+    """Parse a Kaldi script (.scp) file into an ordered {key: value} dict.
+
+    Parity with _parse_script (css/css_with_conformer/utils/
+    audio_util.py:10-37): whitespace-split lines, first token is the key,
+    duplicated keys are an error; num_tokens >= 2 enforces exact arity,
+    num_tokens < 0 passes the token list through value_processor."""
+    out = {}
+    with open(scp_path, "r") as f:
+        for line, raw in enumerate(f):
+            toks = raw.strip().split()
+            if (num_tokens >= 2 and len(toks) != num_tokens) or \
+                    (restrict and len(toks) < 2):
+                raise RuntimeError(
+                    f"For {scp_path}, format error in line[{line:d}]: {raw}")
+            if num_tokens == 2:
+                key, value = toks
+            else:
+                key, value = toks[0], toks[1:]
+            if key in out:
+                raise ValueError(f"Duplicated key '{key}' exists in "
+                                 f"{scp_path}")
+            out[key] = value_processor(value)
+    return out
+
+
+class ScpWaveReader:
+    """Sequential/random reader over a Kaldi-style wav.scp
+    ('key /path/to/wav' per line). Parity with WaveReader
+    (css/css_with_conformer/utils/audio_util.py:40-88): iteration yields
+    (key, samples) with samples float32, channels-first for MC, MATLAB
+    [-1, 1) scaling when normalize=True; a configured sample rate is
+    enforced on every read."""
+
+    def __init__(self, wav_scp, sr: int = 16000, normalize: bool = True):
+        self.index_dict = parse_scp(wav_scp)
+        self.sr = sr
+        self.normalize = normalize
+
+    def _load(self, key):
+        sr, samps = read_wav(self.index_dict[key],
+                             normalize=self.normalize, return_rate=True)
+        if self.sr is not None and sr != self.sr:
+            raise RuntimeError(f"Sample rate mismatch: {sr:d} vs "
+                               f"{self.sr:d}")
+        return samps
+
+    def __len__(self):
+        return len(self.index_dict)
+
+    def __contains__(self, key):
+        return key in self.index_dict
+
+    def __getitem__(self, key):
+        if key not in self.index_dict:
+            raise KeyError(f"Missing utterance {key}!")
+        return self._load(key)
+
+    def __iter__(self):
+        for key in self.index_dict:
+            yield key, self._load(key)

@@ -332,3 +332,39 @@ def test_pipeline_with_diar_prepass(tmp_path, monkeypatch):
         assert (out_dir / "diarization" / sid / "word_nmesc"
                 / "all_segments_df.pkl").exists()
     assert wer_df is not None and len(wer_df) == 2
+
+
+def test_separate_cli_scp(tmp_path, monkeypatch):
+    """Kaldi wav.scp input (separate.py:28-41 WaveReader contract):
+    hierarchical keys, per-utterance separated streams."""
+    import sys
+    from notsofar_tpu.css.separate_cli import main as cli_main
+    from notsofar_tpu.utils.audio import read_wav, write_wav
+
+    models_dir = tmp_path / "models"
+    make_sc_css_model(models_dir)
+    rng = np.random.RandomState(1)
+    t = np.arange(FS * 2) / FS
+    keys = ["sess0/utt_0", "sess0/utt_1"]
+    lines = []
+    for i, key in enumerate(keys):
+        wav = (0.25 * np.sin(2 * np.pi * (300 + 50 * i) * t)
+               + 0.05 * rng.randn(len(t))).astype(np.float32)
+        p = tmp_path / f"u{i}.wav"
+        write_wav(p, wav, FS, max_norm=False)
+        lines.append(f"{key} {p}")
+    scp = tmp_path / "utts.scp"
+    scp.write_text("\n".join(lines) + "\n")
+
+    out_dir = tmp_path / "sep_scp"
+    monkeypatch.setattr(sys, "argv", [
+        "separate_cli", "--model",
+        str(models_dir / "notsofar/conformer1.0/sc"),
+        "--scp", str(scp), "--out-dir", str(out_dir)])
+    cli_main()
+    for key in keys:
+        outs = sorted(out_dir.glob(f"{key.replace('/', '_')}_spk*.wav"))
+        assert len(outs) == 3, key
+        for p in outs:
+            w = read_wav(p)
+            assert len(w) > 0 and np.isfinite(w).all()

@@ -101,3 +101,48 @@ def test_jax_morphology_multidim_axis():
     got = np.asarray(dilate_jax(arr, 2, axis=0))
     want = np.stack([dilate_np(arr[:, i], 2) for i in range(3)], axis=1)
     np.testing.assert_array_equal(got, want)
+
+
+def test_parse_scp_and_wave_reader(tmp_path):
+    """Kaldi .scp parsing + ScpWaveReader contract (reference
+    css_with_conformer/utils/audio_util.py:10-88)."""
+    import numpy as np
+    import pytest
+    from notsofar_tpu.utils.audio import (ScpWaveReader, parse_scp,
+                                          read_wav, write_wav)
+    fs = 16000
+    rng = np.random.RandomState(0)
+    paths = []
+    for i in range(2):
+        w = (rng.randn(fs) * 0.1).astype(np.float32)
+        p = tmp_path / f"w{i}.wav"
+        write_wav(p, w, fs, max_norm=False)
+        paths.append(p)
+    scp = tmp_path / "wav.scp"
+    scp.write_text(f"a/b {paths[0]}\nkey2 {paths[1]}\n")
+
+    d = parse_scp(scp)
+    assert list(d) == ["a/b", "key2"]
+
+    r = ScpWaveReader(str(scp), sr=fs)
+    assert len(r) == 2 and "a/b" in r and "missing" not in r
+    got = dict(iter(r))
+    assert set(got) == {"a/b", "key2"}
+    np.testing.assert_allclose(got["key2"], read_wav(paths[1]), atol=1e-6)
+    with pytest.raises(KeyError):
+        r["missing"]
+
+    # malformed line (arity) and duplicated key are errors
+    bad = tmp_path / "bad.scp"
+    bad.write_text("only_key\n")
+    with pytest.raises(RuntimeError):
+        parse_scp(bad)
+    dup = tmp_path / "dup.scp"
+    dup.write_text(f"k {paths[0]}\nk {paths[1]}\n")
+    with pytest.raises(ValueError):
+        parse_scp(dup)
+
+    # sample-rate enforcement
+    r8 = ScpWaveReader(str(scp), sr=8000)
+    with pytest.raises(RuntimeError):
+        r8["key2"]
